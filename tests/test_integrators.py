@@ -1,0 +1,176 @@
+"""Integrator correctness: analytic flows, dlogp conventions, round trips.
+
+These pin down the dlogp sign/direction conventions flagged as the #1 risk
+in SURVEY.md §7 ("hard parts") before anything else depends on them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti_tpu.sampling.integrators import sample_ode, sample_ode_dopri5, sample_sde
+
+
+A = jnp.array([[0.3, 0.1], [-0.2, -0.5]])
+
+
+def linear_field(x, t):
+    return A @ x
+
+
+def test_rk4_matches_matrix_exponential():
+    x0 = jnp.array([1.0, -2.0])
+    sol = sample_ode(linear_field, x0, n_steps=64, method="rk4", return_dlogp=False)
+    expected = jax.scipy.linalg.expm(A) @ x0
+    np.testing.assert_allclose(np.asarray(sol.xs[-1]), np.asarray(expected), rtol=1e-5)
+    assert int(sol.nfe) == 64 * 4
+
+
+def test_dlogp_equals_minus_trace_for_linear_flow():
+    # d(dlogp)/dt = -div b = -tr(A), so dlogp(1) = -tr(A)
+    x0 = jnp.array([0.7, 0.3])
+    sol = sample_ode(linear_field, x0, n_steps=32, method="rk4", return_dlogp=True)
+    np.testing.assert_allclose(float(sol.dlogp[-1]), -float(jnp.trace(A)), rtol=1e-5)
+
+
+def test_gaussian_affine_flow_density_identity():
+    # x1 = e^A x0, x0 ~ N(0, I): log p1(x1) = log p0(x0) + dlogp
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (64, 2))
+    sol = jax.vmap(
+        lambda x: sample_ode(linear_field, x, n_steps=64, method="rk4")
+    )(x0)
+    x1 = sol.xs[:, -1]
+    dlogp = sol.dlogp[:, -1]
+
+    expA = jax.scipy.linalg.expm(A)
+    cov1 = expA @ expA.T
+    d = 2
+
+    def logp0(x):
+        return -0.5 * jnp.sum(x**2) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    def logp1(x):
+        cinv = jnp.linalg.inv(cov1)
+        _, logdet = jnp.linalg.slogdet(cov1)
+        return -0.5 * x @ cinv @ x - 0.5 * (d * jnp.log(2 * jnp.pi) + logdet)
+
+    lhs = jax.vmap(logp1)(x1)
+    rhs = jax.vmap(logp0)(x0) + dlogp
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-4, atol=1e-4)
+
+
+def test_round_trip_inverts_flow_and_dlogp():
+    def field(x, t):
+        return jnp.sin(x) + 0.3 * t * x
+
+    x0 = jnp.array([0.4, -1.2, 2.0])
+    fwd = sample_ode(field, x0, t0=0.0, t1=1.0, n_steps=256, method="rk4")
+    back = sample_ode(field, fwd.xs[-1], t0=1.0, t1=0.0, n_steps=256, method="rk4")
+    np.testing.assert_allclose(np.asarray(back.xs[-1]), np.asarray(x0), atol=1e-5)
+    assert abs(float(fwd.dlogp[-1] + back.dlogp[-1])) < 1e-5
+
+
+@pytest.mark.parametrize("method", ["euler", "heun", "rk4"])
+def test_fixed_step_convergence_order(method):
+    x0 = jnp.array([1.0, 0.5])
+    exact = jax.scipy.linalg.expm(A) @ x0
+
+    def err(n):
+        s = sample_ode(linear_field, x0, n_steps=n, method=method, return_dlogp=False)
+        return float(jnp.linalg.norm(s.xs[-1] - exact))
+
+    # small step counts keep errors above the f32 floor
+    e1, e2 = err(2), err(4)
+    order = {"euler": 1, "heun": 2, "rk4": 4}[method]
+    assert e2 < e1 / (2 ** (order - 0.5))
+
+
+def test_dopri5_matches_fixed_step_high_accuracy():
+    def field(x, t):
+        return jnp.tanh(x) * (1.0 + t)
+
+    x0 = jnp.array([0.2, -0.7, 1.5])
+    ref = sample_ode(field, x0, n_steps=2048, method="rk4")
+    ada = sample_ode_dopri5(field, x0, atol=1e-7, rtol=1e-7)
+    # f32 accumulation floor ~1e-5
+    np.testing.assert_allclose(np.asarray(ada.xs[-1]), np.asarray(ref.xs[-1]), atol=2e-5)
+    np.testing.assert_allclose(float(ada.dlogp[-1]), float(ref.dlogp[-1]), atol=2e-5)
+    assert int(ada.nfe) > 0
+
+
+def test_dopri5_reverse_round_trip():
+    def field(x, t):
+        return jnp.cos(3 * x) + t
+
+    x0 = jnp.array([0.1, 0.9])
+    fwd = sample_ode_dopri5(field, x0, atol=1e-8, rtol=1e-8)
+    back = sample_ode_dopri5(field, fwd.xs[-1], t0=1.0, t1=0.0, atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(back.xs[-1]), np.asarray(x0), atol=1e-5)
+    assert abs(float(fwd.dlogp[-1] + back.dlogp[-1])) < 1e-5
+
+
+def test_dopri5_save_points_monotone():
+    sol = sample_ode_dopri5(linear_field, jnp.array([1.0, 1.0]), n_save=5)
+    assert sol.xs.shape == (5, 2)
+    # first saved state is x0
+    np.testing.assert_allclose(np.asarray(sol.xs[0]), [1.0, 1.0])
+
+
+def test_hutchinson_dlogp_close_to_exact():
+    key = jax.random.PRNGKey(3)
+    x0 = jnp.array([0.5, -0.5, 1.0, 2.0])
+    exact = sample_ode(linear_field_4d, x0, n_steps=64, method="rk4", divergence="exact")
+    hutch = sample_ode(
+        linear_field_4d,
+        x0,
+        n_steps=64,
+        method="rk4",
+        divergence="hutchinson",
+        key=key,
+        num_probes=128,
+    )
+    # linear field: Rademacher Hutchinson has variance only from off-diagonals
+    assert abs(float(exact.dlogp[-1]) - float(hutch.dlogp[-1])) < 0.05
+    np.testing.assert_allclose(np.asarray(exact.xs[-1]), np.asarray(hutch.xs[-1]), rtol=1e-6)
+
+
+A4 = jnp.array(
+    [[0.3, 0.05, 0.0, 0.0], [0.0, -0.2, 0.1, 0.0], [0.0, 0.0, 0.1, 0.02], [0.01, 0.0, 0.0, -0.4]]
+)
+
+
+def linear_field_4d(x, t):
+    return A4 @ x
+
+
+def test_sde_zero_noise_is_euler_ode():
+    x0 = jnp.array([1.0, -1.0])
+    key = jax.random.PRNGKey(0)
+    xs = sample_sde(linear_field, x0, key, g_fn=0.0, n_steps=128)
+    euler = sample_ode(linear_field, x0, n_steps=128, method="euler", return_dlogp=False)
+    np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(euler.xs[-1]), rtol=1e-5)
+
+
+def test_sde_ou_stationary_variance():
+    # dX = -X dt + sqrt(2) dW has stationary N(0, 1)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (4096,))
+
+    def drift(x, t):
+        return -x
+
+    xs = jax.vmap(
+        lambda x, k: sample_sde(drift, x, k, g_fn=jnp.sqrt(2.0), t0=0.0, t1=4.0, n_steps=512)
+    )(x0[:, None], jax.random.split(jax.random.fold_in(key, 7), 4096))
+    final = xs[:, -1, 0]
+    assert abs(float(jnp.mean(final))) < 0.1
+    assert abs(float(jnp.var(final)) - 1.0) < 0.12
+
+
+def test_vmapped_chains_shapes():
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (10, 3))
+    sol = jax.vmap(lambda x: sample_ode(lambda y, t: -y, x, n_steps=8, n_save=5))(x0)
+    assert sol.xs.shape == (10, 5, 3)
+    assert sol.dlogp.shape == (10, 5)

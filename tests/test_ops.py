@@ -1,0 +1,119 @@
+"""Divergence estimators, graph aggregation, Kabsch alignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson, value_and_divergence
+from ti_tpu.ops.graph import complete_graph_edges, edge_aggregate, make_edge_table
+from ti_tpu.ops.kabsch import kabsch_align
+
+
+def test_divergence_exact_linear_field():
+    a = jax.random.normal(jax.random.PRNGKey(0), (5, 5))
+    f = lambda x: a @ x
+    x = jax.random.normal(jax.random.PRNGKey(1), (5,))
+    vel, div = divergence_exact(f, x)
+    np.testing.assert_allclose(np.asarray(vel), np.asarray(a @ x), rtol=1e-5)
+    np.testing.assert_allclose(float(div), float(jnp.trace(a)), rtol=1e-5)
+
+
+def test_divergence_exact_nonlinear_matches_jacfwd():
+    def f(x):
+        return jnp.sin(x) * x[::-1] + 0.1 * x**3
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (7,))
+    _, div = divergence_exact(f, x)
+    jac = jax.jacfwd(f)(x)
+    np.testing.assert_allclose(float(div), float(jnp.trace(jac)), rtol=1e-5)
+
+
+def test_divergence_exact_structured_shape():
+    # (N, 3) shaped state, like molecules
+    w = jax.random.normal(jax.random.PRNGKey(3), (12, 12))
+
+    def f(x):
+        return (w @ x.reshape(-1)).reshape(4, 3)
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 3))
+    vel, div = divergence_exact(f, x)
+    assert vel.shape == (4, 3)
+    np.testing.assert_allclose(float(div), float(jnp.trace(w)), rtol=1e-5)
+
+
+def test_hutchinson_unbiased_linear():
+    # Rademacher probes give the exact trace for linear fields in expectation;
+    # with many probes the variance is small
+    a = jax.random.normal(jax.random.PRNGKey(5), (6, 6))
+    f = lambda x: a @ x
+    x = jnp.zeros(6)
+    _, div = divergence_hutchinson(f, x, jax.random.PRNGKey(6), num_probes=4096)
+    assert abs(float(div) - float(jnp.trace(a))) < 0.35
+
+
+def test_value_and_divergence_dispatch():
+    f = lambda x: 2.0 * x
+    x = jnp.ones(3)
+    _, d1 = value_and_divergence(f, x, mode="exact")
+    assert float(d1) == pytest.approx(6.0, rel=1e-6)
+    _, d2 = value_and_divergence(f, x, mode="hutchinson", key=jax.random.PRNGKey(0))
+    assert float(d2) == pytest.approx(6.0, rel=1e-4)  # exact for Rademacher + diagonal J
+    with pytest.raises(ValueError):
+        value_and_divergence(f, x, mode="hutchinson")
+    with pytest.raises(ValueError):
+        value_and_divergence(f, x, mode="nope")
+
+
+def test_complete_graph_edges_dst_major():
+    src, dst = complete_graph_edges(4)
+    assert len(src) == 12
+    # dst-major grouping
+    np.testing.assert_array_equal(dst, np.repeat(np.arange(4), 3))
+    for d in range(4):
+        grp = src[dst == d]
+        assert set(grp.tolist()) == set(range(4)) - {d}
+
+
+def test_edge_table_bond_types():
+    bond_index = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
+    bond_types = np.array([2, 2, 1, 1])
+    et = make_edge_table(3, bond_index, bond_types)
+    src, dst, typ = np.asarray(et.src), np.asarray(et.dst), np.asarray(et.edge_type)
+    lookup = {(s, d): t for s, d, t in zip(src, dst, typ)}
+    assert lookup[(0, 1)] == 2 and lookup[(1, 0)] == 2
+    assert lookup[(1, 2)] == 1 and lookup[(2, 1)] == 1
+    assert lookup[(0, 2)] == 0 and lookup[(2, 0)] == 0
+
+
+def test_edge_aggregate_matches_segment_sum():
+    et = make_edge_table(5)
+    msgs = jax.random.normal(jax.random.PRNGKey(7), (20, 8, 3))
+    dense = edge_aggregate(msgs, et)
+    seg = jax.ops.segment_sum(msgs, et.dst, num_segments=5)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(seg), rtol=1e-5, atol=1e-6)
+
+
+def test_kabsch_recovers_rotation():
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (10, 3))
+    x = x - x.mean(0)
+    # random rotation via QR
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.fold_in(key, 1), (3, 3)))
+    q = q * jnp.sign(jnp.linalg.det(q))  # proper rotation
+    target = x @ q.T
+    aligned = kabsch_align(x, target)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(target), atol=1e-4)
+
+
+def test_kabsch_improves_rmsd_on_noisy():
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (16, 3))
+    x = x - x.mean(0)
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.fold_in(key, 1), (3, 3)))
+    q = q * jnp.sign(jnp.linalg.det(q))
+    target = x @ q.T + 0.05 * jax.random.normal(jax.random.fold_in(key, 2), (16, 3))
+    target = target - target.mean(0)
+    before = float(jnp.sqrt(jnp.mean((x - target) ** 2)))
+    after = float(jnp.sqrt(jnp.mean((kabsch_align(x, target) - target) ** 2)))
+    assert after <= before
