@@ -1,0 +1,148 @@
+"""gEDMD oracles: Ornstein-Uhlenbeck analytic spectra (SURVEY.md §4).
+
+OU process dX = -kappa X dt + sigma dW has generator eigenvalues -kappa*n
+(Hermite eigenfunctions) and Koopman eigenvalues exp(-kappa*n*lag) — exact
+references for both estimation paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti_tpu.gedmd.rff import (
+    bootstrap_generator_eigenvalues,
+    cv_generator_rff,
+    cv_koopman_rff,
+    rff_matrices_koopman,
+    sample_rff_gaussian,
+    spectral_analysis_rff_generator,
+    spectral_analysis_rff_koopman,
+    split_by_lag,
+    whitening_transform,
+)
+from ti_tpu.sampling.integrators import sample_sde
+
+KAPPA = 1.0
+BETA = 1.0  # diffusion a = 2/beta like the reference call sites
+
+
+def _stationary_samples(m=6000):
+    # stationary variance = a / (2 kappa) = 1/ (beta kappa)
+    key = jax.random.PRNGKey(0)
+    std = np.sqrt(1.0 / (BETA * KAPPA))
+    return std * jax.random.normal(key, (1, m))
+
+
+def test_generator_spectrum_ou():
+    X = _stationary_samples()
+    Omega = sample_rff_gaussian(1, 1, 64, 0.8)
+    d, W = spectral_analysis_rff_generator(X, Omega, nev=4, a=2.0 / BETA, tol=1e-4)
+    # ascending: [-3k, -2k, -k, 0]
+    np.testing.assert_allclose(np.real(d), [-3.0, -2.0, -1.0, 0.0], atol=0.25)
+    assert W.shape == (64, 4)
+
+
+def test_generator_accepts_trajectory_list():
+    X = _stationary_samples(3000)
+    Omega = sample_rff_gaussian(1, 1, 48, 0.8)
+    d, _ = spectral_analysis_rff_generator(
+        [X[:, :1500], X[:, 1500:]], Omega, nev=3, a=2.0, tol=1e-4
+    )
+    np.testing.assert_allclose(np.real(d)[-1], 0.0, atol=0.05)
+
+
+def _ou_trajectory(n=60_000, dt=0.01):
+    def drift(x, t):
+        return -KAPPA * x
+
+    x0 = jnp.array([1.0])
+    xs = sample_sde(
+        drift,
+        x0,
+        jax.random.PRNGKey(2),
+        g_fn=np.sqrt(2.0 / BETA),
+        t0=0.0,
+        t1=n * dt,
+        n_steps=n,
+        n_save=n + 1,
+    )
+    return np.asarray(xs).T  # (1, n+1)
+
+
+def test_koopman_spectrum_ou():
+    traj = _ou_trajectory()
+    lag, dt = 20, 0.01
+    Omega = sample_rff_gaussian(3, 1, 64, 0.8)
+    d, W = spectral_analysis_rff_koopman(traj, Omega, lag=lag, nev=3, tol=1e-4)
+    expected = np.exp(-KAPPA * np.arange(2, -1, -1) * lag * dt)
+    np.testing.assert_allclose(np.real(d), expected, atol=0.08)
+
+
+def test_bootstrap_generator_matches_point_estimate():
+    X = _stationary_samples(3000)
+    Omega = sample_rff_gaussian(4, 1, 50, 0.8)
+    mean, lo, hi = bootstrap_generator_eigenvalues(
+        X, Omega, nev=4, a=2.0 / BETA, tol=1e-4, n_bootstrap=100, seed=5, chunk=50,
+    )
+    # negated eigenvalues: [3, 2, 1, 0] (finite-sample bias shrinks them)
+    np.testing.assert_allclose(mean, [3.0, 2.0, 1.0, 0.0], atol=0.55)
+    assert np.all(lo <= mean + 1e-9) and np.all(mean <= hi + 1e-9)
+    d, _ = spectral_analysis_rff_generator(X, Omega, nev=4, a=2.0 / BETA, tol=1e-4)
+    np.testing.assert_allclose(mean, -np.real(d), atol=0.3)
+
+
+def test_whitening_orthonormalizes():
+    rng = np.random.default_rng(6)
+    theta = rng.standard_normal((500, 16))
+    M = np.exp(-1j * theta)
+    G = M.conj().T @ M
+    L, keep = whitening_transform(G, tol=1e-8, rmin=4)
+    R = L.conj().T @ G @ L
+    r = int(np.asarray(keep).sum())
+    kept = np.asarray(keep)
+    np.testing.assert_allclose(R[np.ix_(kept, kept)], np.eye(r), atol=1e-3)
+
+
+def test_split_by_lag():
+    X = np.arange(20, dtype=float).reshape(1, 20)
+    a, b = split_by_lag(X, 3)
+    np.testing.assert_array_equal(a[0], np.arange(17))
+    np.testing.assert_array_equal(b[0], np.arange(3, 20))
+    a2, b2 = split_by_lag([X, X], 3)
+    assert a2.shape == (1, 34)
+
+
+def test_rff_matrices_koopman_values():
+    X = np.array([[0.0, np.pi / 2]])
+    Om = np.array([[1.0]])
+    M, Mt = rff_matrices_koopman(X, X, Om)
+    np.testing.assert_allclose(M[0], 1.0 + 0j, atol=1e-6)
+    np.testing.assert_allclose(M[1], -1j, atol=1e-6)
+
+
+def test_cv_generator_scores_prefer_good_bandwidth():
+    X = _stationary_samples(3000)
+    scores = {}
+    for sig in (0.8, 20.0):
+        Omega = sample_rff_gaussian(7, 1, 50, sig)
+        d, s = cv_generator_rff(
+            X, Omega, a=2.0, rtrain=0.75, ntest=3, nev=4, tol=1e-4, seed=8,
+        )
+        # the reference records VAMP = -dtest for the generator
+        # (adw/analysis/model_selection.py:44); larger VAMP = better
+        scores[sig] = -s.mean()
+        assert d.shape == (3, 4)
+    assert scores[0.8] > scores[20.0]
+
+
+def test_cv_koopman_runs():
+    traj = _ou_trajectory(20_000)
+    Omega = sample_rff_gaussian(9, 1, 40, 0.8)
+    d, s = cv_koopman_rff(
+        traj, Omega, lag=20, rtrain=0.75, ntest=2, nev=3, tol=1e-4, seed=10,
+    )
+    assert d.shape == (2, 3)
+    assert np.all(np.isfinite(s))
+    # slowest mode ~ stationary eigenvalue 1
+    np.testing.assert_allclose(np.real(d[:, -1]), 1.0, atol=0.1)
