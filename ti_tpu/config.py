@@ -1,0 +1,180 @@
+"""Typed configuration with JSON/CLI overrides and named preset grids.
+
+Replaces the reference's untyped JSON→argparse bridge (adw/thermo/
+utils.py:54-67, mdqm9/thermo/utils.py:31-47 — where every key becomes a CLI
+flag with its type inferred from the JSON value and bools are 0/1 ints)
+with real dataclasses. JSON files and --key value overrides still work;
+``clone_config`` keeps the reference's provenance-snapshot habit
+(mdqm9/thermo/utils.py:50-64). The leave-one-temperature-out experiment
+grid (14 ambient configs, §2 item 36) is generated programmatically by
+``ambient_preset``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence
+
+
+def _apply_overrides(cfg, overrides):
+    for k, v in overrides.items():
+        if not hasattr(cfg, k):
+            raise KeyError(f"unknown config key {k!r} for {type(cfg).__name__}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = bool(int(v)) if not isinstance(v, bool) else v
+        elif cur is not None and not isinstance(v, type(cur)) and not isinstance(cur, (list, tuple)):
+            v = type(cur)(v)
+        setattr(cfg, k, v)
+    return cfg
+
+
+@dataclasses.dataclass
+class ADWConfig:
+    """ADW experiment (reference adw/config/settings.json)."""
+
+    seed: int = 0
+    n_samples: int = 300_000
+    hidden_size: int = 256
+    num_layers: int = 5
+    lr: float = 1e-4
+    wd: float = 1e-5
+    batch_size: int = 512
+    epochs: int = 300
+    a: float = 0.9  # brownian gamma parameter
+    gamma: str = "brownian"
+    beta0s: List[float] = dataclasses.field(default_factory=lambda: [1.0])
+    beta1s: List[float] = dataclasses.field(default_factory=lambda: [1.25])
+    traj_path: str = "data/adw"
+    traj_filename: str = "samples.csv"
+    model_save_path: str = "trained_models/adw"
+    model_save_name: str = "velocity"
+    data_save_path: str = "model_outputs/adw"
+    # sampling
+    sampling_epoch: int = -1  # -1 = latest
+    return_dlogp: bool = True
+    atol: float = 1e-4
+    rtol: float = 1e-4
+    n_step: int = 400
+    solver_type: str = "dopri5"  # or euler/heun/rk4
+    divergence: str = "exact"
+    use_wandb: bool = False
+    project_name: str = "adw-ti-tpu"
+
+
+@dataclasses.dataclass
+class MDQM9Config:
+    """MDQM9 ambient/latent experiments (reference mdqm9/config/*)."""
+
+    seed: int = 0
+    dataset: str = "mdqm9"
+    mdqm9_traj_filename: str = "00031.npy"
+    sdf_filename: str = "mdqm9.sdf"
+    traj_path: str = "data/mols/rotated_replica_exchange_trajs"
+    sdf_path: str = "data/mols"
+    # interpolant / loss
+    a: float = 1.0
+    gamma: str = "sin2"
+    t_distr: str = "uniform"
+    # model
+    cutoff: float = 1000.0
+    temp_length: float = 100.0
+    n_features: int = 128
+    score_layers: int = 5
+    # optimization
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    batch_size: int = 12
+    n_epochs: int = 150
+    scale_trajs: bool = True
+    use_pretrained: bool = False
+    model_epoch: str = ""
+    # temperatures
+    T0s: List[int] = dataclasses.field(default_factory=lambda: list(range(400, 1001, 100)))
+    T1s: List[int] = dataclasses.field(default_factory=lambda: list(range(400, 1001, 100)))
+    T: List[int] = dataclasses.field(default_factory=lambda: list(range(300, 1001, 100)))
+    sampling_T0: int = 1000
+    sampling_T1: int = 300
+    sampling_T: int = 300
+    align: bool = True
+    # sampling
+    return_dlogp: bool = True
+    atol: float = 1e-5
+    rtol: float = 1e-5
+    n_steps: int = 100
+    solver_type: str = "dopri5"
+    divergence: str = "exact"
+    n_latent_samples: int = 10_000
+    latent_traj_path: str = ""
+    # io
+    model_save_path: str = "trained_models/mdqm9"
+    model_save_name: str = "00031_no_300"
+    data_save_path: str = "generated_data/ambient"
+    data_save_name: str = "00031_no_300_1000to300K"
+    use_wandb: bool = False
+    project_name: str = "mdqm9-ti-tpu"
+
+
+def load_config(path: str, cls=None, **overrides):
+    """Load a JSON config into a typed dataclass (+keyword overrides)."""
+    with open(path) as f:
+        data = json.load(f)
+    kind = data.pop("_kind", None)
+    if cls is None:
+        cls = {"adw": ADWConfig, "mdqm9": MDQM9Config}.get(kind or "", MDQM9Config)
+    cfg = cls()
+    _apply_overrides(cfg, data)
+    _apply_overrides(cfg, overrides)
+    return cfg
+
+
+def clone_config(cfg, save_path: str, name: str) -> str:
+    """Snapshot the exact settings next to the model weights
+    (reference clone_config, mdqm9/thermo/utils.py:50-64)."""
+    out_dir = os.path.join(save_path, name)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "settings.json")
+    payload = dataclasses.asdict(cfg)
+    payload["_kind"] = "adw" if isinstance(cfg, ADWConfig) else "mdqm9"
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=4)
+    return out
+
+
+def ambient_preset(
+    mol: str = "00031", leave_out: Optional[int] = 300, **overrides
+) -> MDQM9Config:
+    """The leave-one-temperature-out grid: train on all temps except
+    ``leave_out``, sample 1000K -> leave_out (reference
+    mdqm9/config/ambient/{mol}_settings_no_{T}.json)."""
+    temps = [t for t in TEMP_GRID if t != leave_out]
+    cfg = MDQM9Config(
+        mdqm9_traj_filename=f"{mol}.npy",
+        n_features=128 if mol == "00031" else 256,
+        T0s=temps,
+        T1s=temps,
+        sampling_T0=1000,
+        sampling_T1=leave_out if leave_out is not None else 300,
+        model_save_name=f"{mol}_no_{leave_out}",
+        data_save_name=f"{mol}_no_{leave_out}_1000to{leave_out}K",
+    )
+    return _apply_overrides(cfg, overrides)
+
+
+def latent_preset(mol: str = "00031", Ts: Optional[Sequence[int]] = None, **overrides) -> MDQM9Config:
+    """Latent (Boltzmann-generator) presets (reference
+    mdqm9/config/latent/*.json): all temperatures or a single one."""
+    Ts = list(Ts) if Ts is not None else list(TEMP_GRID)
+    cfg = MDQM9Config(
+        mdqm9_traj_filename=f"{mol}.npy",
+        T=Ts,
+        n_steps=400,
+        model_save_name=f"{mol}_latent_{'allTs' if len(Ts) > 1 else str(Ts[0]) + 'K'}",
+        data_save_path="generated_data/latent",
+    )
+    return _apply_overrides(cfg, overrides)
+
+
+TEMP_GRID = tuple(range(300, 1001, 100))

@@ -1,0 +1,132 @@
+"""Shared training machinery: optimizer, plateau LR, NaN-guard, checkpoints.
+
+Keeps the reference's training semantics (SURVEY.md §5.3-5.4) in a
+TPU-native shape:
+
+- Adam with L2 weight decay folded into the gradient BEFORE the moment
+  estimates (torch.optim.Adam weight_decay semantics used at
+  adw/train.py:42, mdqm9/train_ambient.py:96) — i.e. NOT decoupled AdamW.
+- global-norm gradient clipping at 1.0 applied to the raw gradients
+  (adw/train.py:68), before the decay term like torch's
+  clip_grad_norm_ -> optim.step() ordering.
+- the learning rate enters as a runtime scalar so ReduceLROnPlateau (same
+  factor-0.5/patience-10 semantics as torch's scheduler, adw/train.py:43)
+  never triggers recompilation.
+- "safe backprop": a ``lax.cond`` skips the update when the loss is
+  non-finite, counting the event (adw/train.py:59-65,
+  mdqm9/train_ambient.py:136-142) — branchless on device instead of a
+  python ``continue``.
+- checkpoints via orbax (params, opt state, epoch, LR, RNG key) plus the
+  config snapshot habit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jax.Array
+
+
+def make_optimizer(weight_decay: float = 0.0, clip: float = 1.0) -> optax.GradientTransformation:
+    """clip(1.0) -> +wd*θ -> Adam moments; LR is applied by the caller."""
+    parts = []
+    if clip is not None:
+        parts.append(optax.clip_by_global_norm(clip))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam())
+    return optax.chain(*parts)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    lr: Array  # scalar, runtime-adjustable
+    nan_count: Array  # int32 running count of skipped steps
+
+
+def init_train_state(params, tx: optax.GradientTransformation, lr: float) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        lr=jnp.asarray(lr, jnp.float32),
+        nan_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_update_step(
+    loss_fn: Callable[..., Array], tx: optax.GradientTransformation
+) -> Callable:
+    """Build a jittable (state, key, *batch) -> (state, loss) update with the
+    NaN-guard built in. ``loss_fn(params, key, *batch) -> scalar``."""
+
+    def step(state: TrainState, key: Array, *batch) -> Tuple[TrainState, Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, *batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p - state.lr * u, state.params, updates)
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state
+        )
+        return (
+            TrainState(params, opt_state, state.lr, state.nan_count + (~ok).astype(jnp.int32)),
+            loss,
+        )
+
+    return step
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (min mode,
+    rel threshold): after ``patience`` epochs without a >threshold relative
+    improvement, multiply LR by ``factor``."""
+
+    factor: float = 0.5
+    patience: int = 10
+    threshold: float = 1e-4
+    min_lr: float = 0.0
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = float(metric)
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            lr = max(lr * self.factor, self.min_lr)
+            self.num_bad = 0
+        return lr
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (reference: per-epoch torch.save of module/state_dicts,
+# adw/train.py:97, mdqm9/train_ambient.py:175-176 -> orbax here)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, payload) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), item=like)
+    return ckptr.restore(os.path.abspath(path))
