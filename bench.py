@@ -1,0 +1,123 @@
+"""Benchmark: MDQM9-ambient transport throughput on one TPU chip.
+
+Headline metric: samples/sec/chip for the throughput-critical path of the
+reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
+dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
+(19 atoms, cPaiNN F=128 x 5 layers).
+
+value        = TPU-first path: fixed-step RK4(100) with the divergence
+               fused via jax.linearize, vmapped over a large chain batch.
+vs_baseline  = value / (reference-algorithm shape on the SAME chip):
+               adaptive dopri5 at atol=rtol=1e-5 (the reference's solver
+               settings, 00031_settings_no_300.json:34-36) at the
+               reference's batch size 12. The reference publishes no
+               absolute numbers (BASELINE.md), so the denominator is the
+               reference's *algorithmic* shape run on identical hardware.
+
+Prints ONE JSON line. Extra context goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(quick: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    n_atoms = 19
+    mol = make_synthetic_molecule(n_atoms=n_atoms, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=128, score_layers=5, temp_length=100.0, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    v_fn_of = molecular_v_fn_of(model, params, template)
+    key = jax.random.PRNGKey(1)
+
+    def make_batch(c):
+        x0 = 0.1 * jax.random.normal(key, (c, n_atoms, 3), dtype=jnp.float32)
+        x0 = x0 - x0.mean(axis=1, keepdims=True)
+        temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (c, 1))
+        return x0, temps
+
+    def timed(sampler, c, n_rep):
+        x0, temps = make_batch(c)
+        sol = sampler(x0, temps, key)  # compile + warmup
+        jax.block_until_ready(sol.xs)
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            sol = sampler(x0, temps, jax.random.fold_in(key, i))
+        jax.block_until_ready(sol.xs)
+        dt = time.perf_counter() - t0
+        return c * n_rep / dt, int(np.max(np.asarray(sol.nfe)))
+
+    # --- optimized TPU-first path: fixed-step RK4, fused exact dlogp ---
+    # FLOP-bound: ~n_steps*4 evals x (1 primal + 3N tangent) passes/sample;
+    # all 57 tangent lanes ride one batched pass (chains x 57 lanes).
+    chains = 32
+    reps = 1
+    opt_sampler = make_ode_sampler(
+        v_fn_of, solver="rk4", n_steps=20 if quick else 100, n_save=2,
+        return_dlogp=True, divergence="exact",
+    )
+    opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
+    print(f"[bench] optimized rk4: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
+
+    # --- reference-algorithm shape on the same chip: dopri5 1e-5, batch 12 ---
+    ref_sampler = make_ode_sampler(
+        v_fn_of, solver="dopri5", n_save=2, atol=1e-5, rtol=1e-5,
+        return_dlogp=True, divergence="exact",
+    )
+    ref_rate, ref_nfe = timed(ref_sampler, 12, 1)
+    print(f"[bench] reference-shape dopri5: {ref_rate:.3f} samples/s (nfe={ref_nfe})", file=sys.stderr)
+
+    # --- context: SDE (Euler–Maruyama, no dlogp) chains/sec ---
+    try:
+        from ti_tpu.sampling.drivers import sample_molecular_sde
+
+        if quick:
+            raise RuntimeError("skipped in quick mode")
+        c_sde = 2048
+        x0, temps = make_batch(c_sde)
+        out = sample_molecular_sde(
+            model, params, template, x0, temps, key, g_fn=0.1,
+            n_steps=25 if quick else 100,
+        )
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = sample_molecular_sde(
+            model, params, template, x0, temps, jax.random.fold_in(key, 9),
+            g_fn=0.1, n_steps=25 if quick else 100,
+        )
+        jax.block_until_ready(out)
+        sde_rate = c_sde / (time.perf_counter() - t0)
+        print(f"[bench] SDE (no dlogp): {sde_rate:.1f} samples/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] SDE path failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mdqm9_ambient_transport_with_dlogp_samples_per_sec_per_chip",
+                "value": round(opt_rate, 4),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(opt_rate / ref_rate, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Sample the trained ambient model T0->T1 with dlogp
+(reference: python mdqm9/sample_ambient.py), with optional BG->TI
+composition from latent trajectories."""
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from scripts.mdqm9_train_ambient import parse
+
+
+if __name__ == "__main__":
+    from ti_tpu.data.mdqm9 import MDQM9AmbientDataset, load_trajs
+    from ti_tpu.sampling.drivers import sample_ambient
+    from ti_tpu.train.ambient import build_ambient_model
+    from ti_tpu.train.common import load_checkpoint
+
+    cfg = parse(sys.argv[1:])
+    model = build_ambient_model(cfg)
+    ck = load_checkpoint(
+        os.path.join(
+            cfg.model_save_path, cfg.model_save_name,
+            f"{cfg.model_save_name}_{cfg.model_epoch}_weights",
+        )
+    )
+    ds = MDQM9AmbientDataset.load(
+        cfg.traj_path, cfg.sdf_path, cfg.mdqm9_traj_filename, cfg.sdf_filename,
+        split="test", Ts=[cfg.sampling_T0], scale=cfg.scale_trajs,
+    )
+    latent_z = latent_dlogp = None
+    if cfg.latent_traj_path:
+        stem = cfg.mdqm9_traj_filename.split(".")[0]
+        latent = np.load(
+            os.path.join(cfg.latent_traj_path, f"samples_mol_{stem}_{cfg.sampling_T0}k_forward.npy")
+        )[: cfg.n_latent_samples]
+        latent_z = latent[:, 0]
+        x0 = latent[:, -1]
+        latent_dlogp = np.load(
+            os.path.join(cfg.latent_traj_path, f"dlogps_mol_{stem}_{cfg.sampling_T0}k_forward.npy")
+        )[: cfg.n_latent_samples]
+    else:
+        x0 = ds.frames
+
+    out = sample_ambient(cfg, model, ck["params"], ds.template, x0, latent_z, latent_dlogp)
+    print(f"sampled {len(out['samples'])} conformations, nfe={out['nfe']}")

@@ -1,0 +1,144 @@
+"""End-to-end training smoke tests on tiny synthetic problems.
+
+These exercise the full train loops (scan-epochs, NaN-guard, plateau LR,
+checkpointing) and the sampling drivers, CPU-sized.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ti_tpu.config import ADWConfig, MDQM9Config
+from ti_tpu.data.adw import ADWDataset, make_synthetic_adw_csv
+from ti_tpu.data.mdqm9 import (
+    MDQM9AmbientDataset,
+    MDQM9LatentDataset,
+    make_synthetic_frames,
+    make_synthetic_molecule,
+)
+from ti_tpu.sampling.drivers import sample_adw, sample_ambient, sample_latent
+from ti_tpu.train.adw import train_adw
+from ti_tpu.train.ambient import train_ambient
+from ti_tpu.train.latent import train_latent
+from ti_tpu.train.common import ReduceLROnPlateau, load_checkpoint
+
+
+def test_reduce_lr_on_plateau_semantics():
+    s = ReduceLROnPlateau(factor=0.5, patience=2)
+    lr = 1.0
+    lr = s.step(1.0, lr)  # improves (from inf)
+    for _ in range(2):
+        lr = s.step(1.0, lr)  # no improvement x2 -> still within patience
+    assert lr == 1.0
+    lr = s.step(1.0, lr)  # 3rd bad epoch > patience -> cut
+    assert lr == 0.5
+
+
+@pytest.fixture(scope="module")
+def adw_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("adw")
+    csv = make_synthetic_adw_csv(str(tmp / "samples.csv"), betas=[1.0, 1.25], n_samples=4000)
+    cfg = ADWConfig(
+        n_samples=2000, hidden_size=32, num_layers=2, epochs=3, batch_size=256,
+        traj_path=str(tmp), model_save_path=str(tmp / "models"),
+        data_save_path=str(tmp / "out"), n_step=8, solver_type="rk4",
+    )
+    result = train_adw(cfg)
+    return cfg, result, tmp
+
+
+def test_adw_training_decreases_loss(adw_run):
+    cfg, result, _ = adw_run
+    hist = result["history"]["train_loss"]
+    assert all(np.isfinite(hist))
+    assert hist[-1] < hist[0]
+
+
+def test_adw_checkpoint_roundtrip(adw_run):
+    cfg, result, tmp = adw_run
+    ck = load_checkpoint(os.path.join(cfg.model_save_path, cfg.model_save_name, "epoch_2"))
+    for a, b in zip(jax.tree.leaves(ck["params"]), jax.tree.leaves(result["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # config snapshot written
+    assert os.path.exists(os.path.join(cfg.model_save_path, cfg.model_save_name, "settings.json"))
+
+
+def test_adw_sampling_artifacts(adw_run):
+    cfg, result, tmp = adw_run
+    x0 = np.random.default_rng(0).standard_normal((64, 1)).astype(np.float32)
+    out = sample_adw(cfg, result["model"], result["params"], x0, np.ones(64))
+    assert out["samples"].shape == (2, 64)  # fixed-step saves start+end
+    assert out["dlogps"].shape == (2, 64)
+    assert np.all(np.isfinite(out["samples"]))
+    d = os.path.join(cfg.data_save_path, cfg.model_save_name, "beta_1.0_to_1.25")
+    assert os.path.exists(os.path.join(d, f"samples_epoch_{cfg.sampling_epoch}.npy"))
+
+
+@pytest.fixture(scope="module")
+def mol_data():
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    frames = {
+        T: make_synthetic_frames(mol, 48, T, seed=T) for T in (400, 500)
+    }
+    return mol, frames
+
+
+def _tiny_cfg(tmp, **kw):
+    base = dict(
+        n_features=8, score_layers=1, batch_size=8, n_epochs=2,
+        model_save_path=str(tmp / "models"), data_save_path=str(tmp / "out"),
+        n_steps=4, solver_type="rk4", T0s=[400, 500], T1s=[400, 500],
+        sampling_T0=500, sampling_T1=400, T=[400, 500], sampling_T=400,
+    )
+    base.update(kw)
+    return MDQM9Config(**base)
+
+
+def test_ambient_training_and_sampling(mol_data, tmp_path):
+    mol, frames = mol_data
+    cfg = _tiny_cfg(tmp_path)
+    stack = np.concatenate([frames[400], frames[500]])
+    temps = np.concatenate([np.full(48, 400.0), np.full(48, 500.0)])
+    ds0 = MDQM9AmbientDataset.from_arrays(stack, temps, mol)
+    ds1 = MDQM9AmbientDataset.from_arrays(stack, temps, mol)
+    result = train_ambient(cfg, ds0, ds1)
+    hist = result["history"]["train_loss"]
+    assert all(np.isfinite(hist))
+    assert np.isfinite(result["history"]["epoch_best_loss"][-1])
+
+    out = sample_ambient(
+        cfg, result["model"], result["params"], result["template"],
+        frames[500][:16], batch_size=8,
+    )
+    assert out["samples"].shape[0] == 16
+    assert out["samples"].shape[-2:] == (6, 3)
+    assert np.all(np.isfinite(out["samples"])) and np.all(np.isfinite(out["dlogps"]))
+    assert os.path.exists(os.path.join(cfg.data_save_path, f"samples_{cfg.data_save_name}.npy"))
+
+
+def test_latent_training_and_sampling(mol_data, tmp_path):
+    mol, frames = mol_data
+    cfg = _tiny_cfg(tmp_path, n_latent_samples=16)
+    ds = MDQM9LatentDataset.from_arrays(
+        frames[400], np.full(48, 400.0), mol, t_cond=1, align=True
+    )
+    result = train_latent(cfg, ds)
+    assert all(np.isfinite(result["history"]["train_loss"]))
+
+    out = sample_latent(cfg, result["model"], result["params"], result["template"], n_samples=16, batch_size=8)
+    assert out["samples"].shape[0] == 16
+    assert np.all(np.isfinite(out["samples"]))
+
+
+def test_latent_single_temperature_unconditioned(mol_data, tmp_path):
+    mol, frames = mol_data
+    cfg = _tiny_cfg(tmp_path, T=[400], n_epochs=1)
+    ds = MDQM9LatentDataset.from_arrays(
+        frames[400], np.full(48, 400.0), mol, t_cond=0, align=False
+    )
+    result = train_latent(cfg, ds)
+    assert result["model"].conditioning == "none"
+    assert all(np.isfinite(result["history"]["train_loss"]))

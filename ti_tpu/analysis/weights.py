@@ -75,7 +75,8 @@ def resample_with_weights(samples, weights, n_samples: int | None = None, seed=0
     samples = np.asarray(samples)
     if n_samples is None:
         n_samples = len(samples)
-    p = np.asarray(weights, dtype=np.float64)
-    p = p / p.sum()
-    idx = np.random.default_rng(seed).choice(len(samples), size=n_samples, replace=True, p=p)
-    return samples[idx]
+    # inverse-CDF draw: immune to the strict sum-to-1 check of rng.choice
+    cdf = np.cumsum(np.asarray(weights, dtype=np.float64))
+    u = np.random.default_rng(seed).random(n_samples) * cdf[-1]
+    idx = np.searchsorted(cdf, u, side="right")
+    return samples[np.clip(idx, 0, len(samples) - 1)]

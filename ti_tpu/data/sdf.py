@@ -79,7 +79,7 @@ def parse_sdf_v2000(path: str, index: Optional[int] = None):
     pattern (mdqm9/data/mdqm9_ambient.py:222-227)."""
     with open(path) as f:
         text = f.read()
-    records = [r for r in text.split("$$$$") if r.strip()]
+    records = [r.lstrip("\n") for r in text.split("$$$$") if r.strip()]
     if index is not None:
         rec = records[index]
         return _parse_one(rec.splitlines(), name=rec.splitlines()[0].strip())

@@ -221,7 +221,8 @@ def bootstrap_generator_eigenvalues(
     done = 0
     while done < n_bootstrap:
         b = min(chunk, n_bootstrap - done)
-        counts = rng.multinomial(m, np.full(m, 1.0 / m), size=b).astype(np.float64)
+        idx = rng.integers(0, m, size=(b, m))
+        counts = np.stack([np.bincount(row, minlength=m) for row in idx]).astype(np.float64)
         # batched weighted Grams: G_w = M† diag(w) M
         Gw = np.einsum("pm,bm,mq->bpq", M.conj().T, counts, M, optimize=True)
         MLw = -0.5 * a * OtO[None] * Gw

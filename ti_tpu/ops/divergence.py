@@ -41,6 +41,7 @@ def value_and_divergence(
     mode: str = "exact",
     key: Array | None = None,
     num_probes: int = 8,
+    chunk: int | None = None,
 ) -> Tuple[Array, Array]:
     """Return (f(x), div f(x)) with the chosen estimator.
 
@@ -48,7 +49,7 @@ def value_and_divergence(
     (flattened). ``mode`` in {"exact", "hutchinson"}.
     """
     if mode == "exact":
-        return divergence_exact(f, x)
+        return divergence_exact(f, x, chunk=chunk)
     if mode == "hutchinson":
         if key is None:
             raise ValueError("hutchinson mode requires a PRNG key")
@@ -56,12 +57,19 @@ def value_and_divergence(
     raise ValueError(f"unknown divergence mode {mode!r}")
 
 
-def divergence_exact(f: VelocityFn, x: Array) -> Tuple[Array, Array]:
-    """Exact trace of the Jacobian of f at x via D vmapped JVPs.
+def divergence_exact(f: VelocityFn, x: Array, chunk: int | None = None) -> Tuple[Array, Array]:
+    """Exact trace of the Jacobian of f at x.
 
     Matches the reference's exact autograd-loop divergence
-    (adw/thermo/models/ode_wrapper.py:54-67) but with forward-mode tangents
-    batched into a single evaluation.
+    (adw/thermo/models/ode_wrapper.py:54-67) but via ``jax.linearize``: the
+    primal is evaluated ONCE and the D tangent passes go through the
+    (cheap, linear) tangent program — versus the reference's D full
+    backward passes per evaluation.
+
+    ``chunk`` bounds the number of tangent lanes evaluated at once (a
+    ``lax.map`` over ceil(D/chunk) vmapped blocks): per-lane activations for
+    a GNN are O(E·F), so on-HBM memory scales with chains × lanes — chunking
+    trades a little latency for a hard memory bound. None = all D at once.
     """
     shape = jnp.shape(x)
     d = int(jnp.size(x))
@@ -70,14 +78,22 @@ def divergence_exact(f: VelocityFn, x: Array) -> Tuple[Array, Array]:
     def f_flat(xf):
         return jnp.reshape(f(jnp.reshape(xf, shape)), (d,))
 
-    basis = jnp.eye(d, dtype=flat.dtype)
+    y, f_lin = jax.linearize(f_flat, flat)
 
-    def jvp_diag(e):
-        y, je = jax.jvp(f_flat, (flat,), (e,))
-        return y, jnp.vdot(e, je)
+    if chunk is None or chunk >= d:
+        basis = jnp.eye(d, dtype=flat.dtype)
+        diag = jax.vmap(lambda e: jnp.vdot(e, f_lin(e)))(basis)
+        return jnp.reshape(y, shape), jnp.sum(diag)
 
-    ys, diag = jax.vmap(jvp_diag)(basis)
-    return jnp.reshape(ys[0], shape), jnp.sum(diag)
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk
+    basis = jnp.eye(d, pad, dtype=flat.dtype).T.reshape(n_chunks, chunk, d)
+
+    def block(es):
+        return jnp.sum(jax.vmap(lambda e: jnp.vdot(e, f_lin(e)))(es))
+
+    partial = jax.lax.map(block, basis)
+    return jnp.reshape(y, shape), jnp.sum(partial)
 
 
 def divergence_hutchinson(
@@ -92,10 +108,6 @@ def divergence_hutchinson(
         return jnp.reshape(f(jnp.reshape(xf, shape)), (d,))
 
     z = jax.random.rademacher(key, (num_probes, d), dtype=flat.dtype)
-
-    def probe(zk):
-        y, jz = jax.jvp(f_flat, (flat,), (zk,))
-        return y, jnp.vdot(zk, jz)
-
-    ys, est = jax.vmap(probe)(z)
-    return jnp.reshape(ys[0], shape), jnp.mean(est)
+    y, f_lin = jax.linearize(f_flat, flat)
+    est = jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z)
+    return jnp.reshape(y, shape), jnp.mean(est)

@@ -36,6 +36,7 @@ def make_ode_sampler(
     rtol: float = 1e-5,
     return_dlogp: bool = True,
     divergence: str = "exact",
+    div_chunk=None,
     t0: float = 0.0,
     t1: float = 1.0,
 ):
@@ -52,10 +53,12 @@ def make_ode_sampler(
             return sample_ode_dopri5(
                 v, x0, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
+                div_chunk=div_chunk,
             )
         return sample_ode(
             v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
             return_dlogp=return_dlogp, divergence=divergence, key=key,
+            div_chunk=div_chunk,
         )
 
     @jax.jit

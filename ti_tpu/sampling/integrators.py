@@ -6,30 +6,33 @@ mdqm9/thermo/latent/integrators.py:8-89) and ODE wrappers
 (adw/thermo/models/ode_wrapper.py, mdqm9/thermo/*/models/ode_wrapper.py):
 
 - The joint (x, dlogp) system is integrated in one fused RHS: a single
-  velocity evaluation plus a batched-JVP divergence (ops/divergence.py),
+  velocity evaluation plus a batched-tangent divergence (ops/divergence.py),
   instead of the reference's 1 forward + 3N backward passes per eval.
-- Fixed-step Euler / Heun / RK4 via ``lax.scan`` (static shapes, jits once,
-  vmaps over thousands of chains).
-- An in-repo adaptive Dormand–Prince 5(4) (``sample_ode_dopri5``) for parity
-  with the reference's dopri5 at atol=rtol=1e-5; implemented as a bounded
-  ``while_loop`` per save interval so it remains vmappable.
-- Euler–Maruyama SDE (``sample_sde``) for stochastic sampling of the
-  interpolant flow.
+- Runge-Kutta stages run as a ``lax.scan`` over the Butcher tableau, so the
+  RHS (the full linearized GNN) is traced/compiled exactly ONCE per
+  integrator regardless of stage count — without this, RK4/dopri5 inline
+  4/7 copies of the network into the HLO and compile time explodes.
+- Fixed-step Euler / Heun / RK4 (``sample_ode``) and an in-repo adaptive
+  Dormand-Prince 5(4) (``sample_ode_dopri5``, bounded while_loop, vmappable)
+  for parity with the reference's dopri5 at atol=rtol=1e-5.
+- Euler-Maruyama SDE (``sample_sde``).
 
 The reference's 1e-2 divergence scaling and matching 1e2 dlogp rescale
-(adw/thermo/models/ode_wrapper.py:67, adw/thermo/integrators.py:68) — a
-torchdiffeq per-state-tolerance conditioning hack — cancel exactly and are
+(adw/thermo/models/ode_wrapper.py:67, adw/thermo/integrators.py:68) - a
+torchdiffeq per-state-tolerance conditioning hack - cancel exactly and are
 dropped; ``sample_ode_dopri5`` instead controls error on the raw joint state.
 
-Sign conventions match the reference ODEWrapper (forward: d(dlogp)/dt =
--div b; reverse: negated field, +div), so "dlogp" here is the change in
-log-density along the transport, and the analysis-layer "neg_dlogps" is its
-negation as in the reference results scripts.
+Sign conventions match the reference ODEWrapper: forward transport
+integrates d(dlogp)/dt = -div b; reverse transport is simply t0=1 -> t1=0
+(negative dt), matching the reference's reverse_ode (-b, +div) convention
+(mdqm9/thermo/ambient/models/ode_wrapper.py:49).
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +46,7 @@ VelocityFn = Callable[[Array, Array], Array]  # (x, t) -> dx/dt
 class ODESolution(NamedTuple):
     """xs: (n_save, *state) trajectory at save points (including t0);
     dlogp: (n_save,) integrated log-density change (zeros if not requested);
-    nfe: scalar int32 — number of RHS evaluations (the reference's printed
+    nfe: scalar int32 - number of RHS evaluations (the reference's printed
     ``n_steps`` counter, mdqm9/sample_ambient.py:107)."""
 
     xs: Array
@@ -51,36 +54,64 @@ class ODESolution(NamedTuple):
     nfe: Array
 
 
-def _make_rhs(
+def _make_rhs_joint(
     v_fn: VelocityFn,
+    shape,
     return_dlogp: bool,
     divergence: str,
     key: Optional[Array],
     num_probes: int,
+    div_chunk: Optional[int] = None,
 ):
-    """RHS of the joint (x, dlogp) system: (b, -div b).
+    """RHS on the flattened joint state y = [x.ravel(), dlogp]."""
+    d = int(np.prod(shape)) if shape else 1
 
-    Reverse transport is simply integration with t0 > t1 (negative dt flips
-    both signs automatically, matching the reference's reverse_ode
-    (-b, +div) convention, mdqm9/thermo/ambient/models/ode_wrapper.py:49).
-    ``eval_idx`` folds RNG so each hutchinson evaluation gets fresh probes.
-    """
-
-    def rhs(x, t, eval_idx):
+    def rhs(y, t, eval_idx):
+        x = jnp.reshape(y[:d], shape)
         if not return_dlogp:
-            return v_fn(x, t), jnp.zeros((), dtype=x.dtype)
+            dx = v_fn(x, t)
+            return jnp.concatenate([jnp.reshape(dx, (d,)), jnp.zeros((1,), y.dtype)])
         f = lambda xx: v_fn(xx, t)
         if divergence == "exact":
-            vel, div = divergence_exact(f, x)
+            vel, div = divergence_exact(f, x, chunk=div_chunk)
         else:
             k = jax.random.fold_in(key, eval_idx)
             vel, div = divergence_hutchinson(f, x, k, num_probes=num_probes)
-        return vel, -div
+        return jnp.concatenate([jnp.reshape(vel, (d,)), -div[None]])
 
     return rhs
 
 
-_METHOD_NFE = {"euler": 1, "heun": 2, "rk4": 4}
+# Butcher tableaus: (c, A, b). A strictly lower-triangular, zero-padded so a
+# full matvec against the stage buffer is exact.
+def _tableau(method: str):
+    if method == "euler":
+        return np.zeros(1), np.zeros((1, 1)), np.array([1.0])
+    if method == "heun":
+        return np.array([0.0, 1.0]), np.array([[0.0, 0.0], [1.0, 0.0]]), np.array([0.5, 0.5])
+    if method == "rk4":
+        c = np.array([0.0, 0.5, 0.5, 1.0])
+        a = np.zeros((4, 4))
+        a[1, 0] = 0.5
+        a[2, 1] = 0.5
+        a[3, 2] = 1.0
+        b = np.array([1, 2, 2, 1]) / 6.0
+        return c, a, b
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _rk_step(rhs, y, t, dt, c, a, b, base_idx):
+    """One explicit RK step with stages as a scan (ONE rhs trace)."""
+    s = b.shape[0]
+
+    def stage(ks, i):
+        yi = y + dt * (a[i] @ ks)
+        k = rhs(yi, t + c[i] * dt, base_idx + i)
+        return ks.at[i].set(k), None
+
+    ks0 = jnp.zeros((s,) + y.shape, dtype=y.dtype)
+    ks, _ = jax.lax.scan(stage, ks0, jnp.arange(s))
+    return y + dt * (b @ ks)
 
 
 def sample_ode(
@@ -96,6 +127,7 @@ def sample_ode(
     divergence: str = "exact",
     key: Optional[Array] = None,
     num_probes: int = 8,
+    div_chunk: Optional[int] = None,
 ) -> ODESolution:
     """Fixed-step probability-flow ODE with fused dlogp carry.
 
@@ -109,71 +141,50 @@ def sample_ode(
     if return_dlogp and divergence == "hutchinson" and key is None:
         raise ValueError("hutchinson divergence requires key=")
 
-    rhs = _make_rhs(v_fn, return_dlogp, divergence, key, num_probes)
+    shape = jnp.shape(x0)
+    d = int(jnp.size(x0))
+    rhs = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
+    cc, aa, bb = _tableau(method)
+    c = jnp.asarray(cc, x0.dtype)
+    a = jnp.asarray(aa, x0.dtype)
+    b = jnp.asarray(bb, x0.dtype)
+    n_stages = int(bb.shape[0])
     dt = (t1 - t0) / n_steps
     per_save = n_steps // (n_save - 1)
 
-    def step(carry, i):
-        x, lp = carry
+    def step(y, i):
         t = t0 + i * dt
+        return _rk_step(rhs, y, t, dt, c, a, b, i * n_stages), None
 
-        def f(x_, lp_, t_, j):
-            dx, dlp = rhs(x_, t_, i * _METHOD_NFE[method] + j)
-            return dx, dlp
+    def save_block(y, block_idx):
+        y, _ = jax.lax.scan(step, y, block_idx * per_save + jnp.arange(per_save))
+        return y, y
 
-        if method == "euler":
-            dx, dlp = f(x, lp, t, 0)
-            x_new, lp_new = x + dt * dx, lp + dt * dlp
-        elif method == "heun":
-            k1x, k1l = f(x, lp, t, 0)
-            k2x, k2l = f(x + dt * k1x, lp + dt * k1l, t + dt, 1)
-            x_new = x + 0.5 * dt * (k1x + k2x)
-            lp_new = lp + 0.5 * dt * (k1l + k2l)
-        elif method == "rk4":
-            k1x, k1l = f(x, lp, t, 0)
-            k2x, k2l = f(x + 0.5 * dt * k1x, lp + 0.5 * dt * k1l, t + 0.5 * dt, 1)
-            k3x, k3l = f(x + 0.5 * dt * k2x, lp + 0.5 * dt * k2l, t + 0.5 * dt, 2)
-            k4x, k4l = f(x + dt * k3x, lp + dt * k3l, t + dt, 3)
-            x_new = x + (dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
-            lp_new = lp + (dt / 6.0) * (k1l + 2 * k2l + 2 * k3l + k4l)
-        else:
-            raise ValueError(f"unknown method {method!r}")
-        return (x_new, lp_new), None
-
-    def save_block(carry, block_idx):
-        carry, _ = jax.lax.scan(
-            step, carry, block_idx * per_save + jnp.arange(per_save)
-        )
-        return carry, carry
-
-    lp0 = jnp.zeros((), dtype=x0.dtype)
-    (_, _), (xs_tail, lps_tail) = jax.lax.scan(
-        save_block, (x0, lp0), jnp.arange(n_save - 1)
+    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), jnp.zeros((1,), x0.dtype)])
+    _, ys_tail = jax.lax.scan(save_block, y0, jnp.arange(n_save - 1))
+    ys = jnp.concatenate([y0[None], ys_tail], axis=0)
+    nfe = jnp.asarray(n_steps * n_stages, dtype=jnp.int32)
+    return ODESolution(
+        xs=jnp.reshape(ys[:, :d], (n_save,) + shape), dlogp=ys[:, d], nfe=nfe
     )
-    xs = jnp.concatenate([x0[None], xs_tail], axis=0)
-    lps = jnp.concatenate([lp0[None], lps_tail], axis=0)
-    nfe = jnp.asarray(n_steps * _METHOD_NFE[method], dtype=jnp.int32)
-    return ODESolution(xs=xs, dlogp=lps, nfe=nfe)
 
 
 # ---------------------------------------------------------------------------
-# Adaptive Dormand–Prince 5(4) — parity with reference dopri5 at tol 1e-5.
+# Adaptive Dormand-Prince 5(4) - parity with reference dopri5 at tol 1e-5.
 # ---------------------------------------------------------------------------
 
-# Butcher tableau (Dormand & Prince 1980), same coefficients as
+# Butcher tableau (Dormand & Prince 1980), the same coefficients as
 # torchdiffeq's dopri5 used by the reference integrators.
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
-_DP_A = [
-    jnp.array([]),
-    jnp.array([1 / 5]),
-    jnp.array([3 / 40, 9 / 40]),
-    jnp.array([44 / 45, -56 / 15, 32 / 9]),
-    jnp.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
-    jnp.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
-    jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
-]
-_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-_DP_B4 = jnp.array(
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.zeros((7, 7))
+_DP_A[1, :1] = [1 / 5]
+_DP_A[2, :2] = [3 / 40, 9 / 40]
+_DP_A[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+_DP_A[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+_DP_A[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]
+_DP_A[6, :6] = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = np.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
 )
 
@@ -187,36 +198,41 @@ def sample_ode_dopri5(
     n_save: int = 2,
     atol: float = 1e-5,
     rtol: float = 1e-5,
-    max_steps: int = 4096,
+    max_steps: int = 1024,
     return_dlogp: bool = True,
     divergence: str = "exact",
     key: Optional[Array] = None,
     num_probes: int = 8,
+    div_chunk: Optional[int] = None,
     first_dt: float = 0.01,
 ) -> ODESolution:
-    """Adaptive RK45 with PI step control, bounded by ``max_steps`` per save
-    interval so the loop stays compilable and vmappable.
+    """Adaptive RK45 with PI step control, bounded by ``max_steps`` steps per
+    save interval so the loop stays compilable and vmappable.
 
     Error control is on the joint flattened (x, dlogp) state with a single
-    (atol, rtol) pair — the reference instead scales div by 1e-2 and passes
+    (atol, rtol) pair - the reference instead scales div by 1e-2 and passes
     per-state tolerance lists to torchdiffeq (see module docstring).
-    Reverse transport: pass t0=1.0, t1=0.0 (integrated in an internal
-    forward time variable).
+    Reverse transport: pass t0=1.0, t1=0.0 (internal forward time).
     """
     if return_dlogp and divergence == "hutchinson" and key is None:
         raise ValueError("hutchinson divergence requires key=")
 
-    rhs = _make_rhs(v_fn, return_dlogp, divergence, key, num_probes)
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
+    rhs0 = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
     direction = 1.0 if t1 >= t0 else -1.0  # internal time tau = dir*(t - t0)
 
-    def rhs_joint(y, tau, idx):
-        x = jnp.reshape(y[:d], shape)
-        dx, dlp = rhs(x, t0 + direction * tau, idx)
-        return direction * jnp.concatenate([jnp.reshape(dx, (d,)), dlp[None]])
+    def rhs(y, tau, idx):
+        return direction * rhs0(y, t0 + direction * tau, idx)
 
+    dtype = jnp.result_type(x0)
+    c_t = jnp.asarray(_DP_C, dtype)
+    a_t = jnp.asarray(_DP_A, dtype)
+    b5_t = jnp.asarray(_DP_B5, dtype)
+    b4_t = jnp.asarray(_DP_B4, dtype)
     save_ts = jnp.linspace(0.0, abs(t1 - t0), n_save)
+    # f32-appropriate completion tolerance (1e-12 never triggers in f32)
+    t_eps = 10.0 * float(jnp.finfo(dtype).eps)
 
     def err_norm(err, y, y_new):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
@@ -229,43 +245,46 @@ def sample_ode_dopri5(
 
         def body(state):
             t, y, dt, nfe, _ = state
-            dt_clipped = jnp.minimum(dt, t_target - t)
-            ks = []
-            for i in range(7):
-                yi = y
-                for j, a in enumerate(_DP_A[i]):
-                    yi = yi + dt_clipped * a * ks[j]
-                ks.append(rhs_joint(yi, t + _DP_C[i] * dt_clipped, nfe + i))
-            k = jnp.stack(ks)  # (7, d+1)
-            y5 = y + dt_clipped * jnp.einsum("s,sd->d", _DP_B5, k)
-            y4 = y + dt_clipped * jnp.einsum("s,sd->d", _DP_B4, k)
+            dt_c = jnp.minimum(dt, t_target - t)
+
+            def stage(ks, i):
+                yi = y + dt_c * (a_t[i] @ ks)
+                k = rhs(yi, t + c_t[i] * dt_c, nfe + i)
+                return ks.at[i].set(k), None
+
+            ks0 = jnp.zeros((7,) + y.shape, dtype=y.dtype)
+            ks, _ = jax.lax.scan(stage, ks0, jnp.arange(7))
+            y5 = y + dt_c * (b5_t @ ks)
+            y4 = y + dt_c * (b4_t @ ks)
             en = err_norm(y5 - y4, y, y5)
 
             accept = en <= 1.0
-            t_new = jnp.where(accept, t + dt_clipped, t)
+            t_new = jnp.where(accept, t + dt_c, t)
             y_new = jnp.where(accept, y5, y)
             factor = jnp.clip(0.9 * (en + 1e-16) ** (-0.2), 0.2, 10.0)
-            dt_new = dt_clipped * factor
-            done = t_new >= t_target - 1e-12
+            dt_new = jnp.maximum(dt_c * factor, t_eps)
+            done = t_new >= t_target - t_eps
             return (t_new, y_new, dt_new, nfe + 7, done)
 
         t, y, dt, nfe, _ = carry
         t, y, dt, nfe, _ = jax.lax.while_loop(
-            cond, body, (t, y, dt, nfe, t >= t_target - 1e-12)
+            cond, body, (t, y, dt, nfe, t >= t_target - t_eps)
         )
         return (t, y, dt, nfe, False), y
 
-    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), jnp.zeros((1,), dtype=x0.dtype)])
-    carry = (jnp.asarray(0.0, dtype=x0.dtype), y0, jnp.asarray(first_dt, x0.dtype),
-             jnp.asarray(0, jnp.int32), False)
-
+    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), jnp.zeros((1,), dtype=dtype)])
+    carry = (
+        jnp.asarray(0.0, dtype), y0, jnp.asarray(first_dt, dtype),
+        jnp.asarray(0, jnp.int32), False,
+    )
     ys = [y0]
     for i in range(1, n_save):
         carry, y = advance_to(carry, save_ts[i])
         ys.append(y)
-    ys = jnp.stack(ys)  # (n_save, d+1)
-    xs = jnp.reshape(ys[:, :d], (n_save,) + shape)
-    return ODESolution(xs=xs, dlogp=ys[:, d], nfe=carry[3])
+    ys = jnp.stack(ys)
+    return ODESolution(
+        xs=jnp.reshape(ys[:, :d], (n_save,) + shape), dlogp=ys[:, d], nfe=carry[3]
+    )
 
 
 def sample_sde(
@@ -280,7 +299,7 @@ def sample_sde(
     n_save: int = 2,
     project_zero_mean: bool = False,
 ) -> Array:
-    """Euler–Maruyama: dX = b(X, t) dt + g(t) dW. Returns (n_save, *state).
+    """Euler-Maruyama: dX = b(X, t) dt + g(t) dW. Returns (n_save, *state).
 
     With g=0 this is the Euler probability-flow ODE. ``project_zero_mean``
     removes the COM of the injected noise each step (keeps molecular chains
