@@ -62,11 +62,13 @@ def filter_iqr(x, k: float | None = 10) -> np.ndarray:
 
 def weights_filter_iqr(weights) -> np.ndarray:
     """The ADW variant: 2%/98% percentiles ± 10·IQR
-    (reference adw/analysis/reweight_gedmd.py:69-76)."""
+    (reference adw/analysis/reweight_gedmd.py:69-76). Bounds are inclusive
+    here — the reference's strict inequalities drop EVERYTHING when all
+    weights are equal (IQR = 0), which crashes its own resampling step."""
     w = np.asarray(weights)
     q1, q3 = np.percentile(w, [2, 98])
     iqr = q3 - q1
-    return (w > q1 - 10 * iqr) & (w < q3 + 10 * iqr)
+    return (w >= q1 - 10 * iqr) & (w <= q3 + 10 * iqr)
 
 
 def resample_with_weights(samples, weights, n_samples: int | None = None, seed=0) -> np.ndarray:
