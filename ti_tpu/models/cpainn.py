@@ -31,7 +31,7 @@ Reference quirks kept for parity (documented):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +90,7 @@ class SE3Message(nn.Module):
 
     n_features: int
     length_scale: float = 10.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -98,7 +99,9 @@ class SE3Message(nn.Module):
         f = self.n_features
         in_features = jnp.concatenate([s[edges.src], e], axis=-1)  # (E, 2F)
         pe = positional_encoding(edge_dist, f, self.length_scale)  # (E, F)
-        h = MLP(f, 5 * f, name="phi")(in_features) * MLP(f, 5 * f, name="w")(pe)
+        h = MLP(f, 5 * f, name="phi", dtype=self.dtype)(in_features) * MLP(
+            f, 5 * f, name="w", dtype=self.dtype
+        )(pe)
         gates, scale_edge_dir, ds, de, cross_gates = jnp.split(h, 5, axis=-1)
 
         gated = gates[..., None] * v[edges.src]  # (E, F, 3)
@@ -119,6 +122,7 @@ class Update(nn.Module):
     """PaiNN node update (reference Update, cpainn.py:318-376)."""
 
     n_features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, s: Array, v: Array) -> Tuple[Array, Array]:
@@ -126,7 +130,7 @@ class Update(nn.Module):
         uv = EquivariantLinear(f, name="u")(v)
         vv = EquivariantLinear(f, name="v")(v)
         vv_norm = jnp.linalg.norm(vv, axis=-1)  # (N, F)
-        h = MLP(f, 3 * f, name="mlp")(jnp.concatenate([vv_norm, s], axis=-1))
+        h = MLP(f, 3 * f, name="mlp", dtype=self.dtype)(jnp.concatenate([vv_norm, s], axis=-1))
         gates, scale_sq, add_inv = jnp.split(h, 3, axis=-1)
         delta_v = gates[..., None] * uv
         delta_s = vv_norm**2 * scale_sq + add_inv
@@ -138,10 +142,11 @@ class LayerReadout(nn.Module):
 
     n_features: int
     n_features_out: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, s: Array, v: Array) -> Tuple[Array, Array]:
-        h = MLP(self.n_features, 2 * self.n_features_out, name="mlp")(s)
+        h = MLP(self.n_features, 2 * self.n_features_out, name="mlp", dtype=self.dtype)(s)
         s_out, gates = jnp.split(h, 2, axis=-1)
         v_out = EquivariantLinear(self.n_features_out, name="V")(v)
         return s_out, gates[..., None] * v_out
@@ -163,6 +168,11 @@ class CPaiNN(nn.Module):
     length_scale: float = 10.0
     temperatures: Tuple[float, ...] = (300.0, 400.0, 500.0, 600.0, 700.0, 800.0, 900.0, 1000.0)
     conditioning: str = "ambient"  # "ambient" | "latent" | "none"
+    # compute/activation dtype for the MLP stacks (params stay f32);
+    # jnp.bfloat16 roughly doubles sampling throughput on v5e (the path is
+    # HBM-bandwidth-bound). Geometry (edge vectors, norms, cross products)
+    # and the output stay f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, g: MolGraph) -> Array:
@@ -193,14 +203,14 @@ class CPaiNN(nn.Module):
             raise ValueError(f"unknown conditioning {self.conditioning!r}")
         feats.append(positional_encoding(t_node, f, self.time_length))
 
-        s = MLP(f, f, name="combine")(jnp.concatenate(feats, axis=-1))  # (N, F)
-        v = jnp.zeros((n, f, 3), dtype=s.dtype)
+        s = MLP(f, f, name="combine", dtype=self.dtype)(jnp.concatenate(feats, axis=-1))
+        v = jnp.zeros((n, f, 3), dtype=x.dtype)
 
         for i in range(self.score_layers):
-            s, v, e = SE3Message(f, self.length_scale, name=f"message_{i}")(
+            s, v, e = SE3Message(f, self.length_scale, name=f"message_{i}", dtype=self.dtype)(
                 s, v, e, edge_dist, edge_dir, g.edges
             )
-            s, v = Update(f, name=f"update_{i}")(s, v)
+            s, v = Update(f, name=f"update_{i}", dtype=self.dtype)(s, v)
 
-        _, v_out = LayerReadout(f, 1, name="readout")(s, v)  # (N, 1, 3)
-        return jnp.squeeze(v_out, axis=-2)
+        _, v_out = LayerReadout(f, 1, name="readout", dtype=self.dtype)(s, v)  # (N, 1, 3)
+        return jnp.squeeze(v_out, axis=-2).astype(x.dtype)

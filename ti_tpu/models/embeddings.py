@@ -9,7 +9,7 @@ arrays, and feature accumulation is an explicit concat at the call site.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -52,21 +52,26 @@ def temperature_encoding(
 
 
 class MLP(nn.Module):
-    """Linear-LayerNorm-SiLU ×2 → Linear (reference embedding.MLP:9-49)."""
+    """Linear-LayerNorm-SiLU ×2 → Linear (reference embedding.MLP:9-49).
+
+    ``dtype`` sets the compute/activation dtype (params stay f32): pass
+    jnp.bfloat16 for the memory-bandwidth-bound sampling path.
+    """
 
     f_hidden: int
     f_out: int
     skip: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.Dense(self.f_hidden)(x)
-        h = nn.LayerNorm(epsilon=1e-5)(h)
+        h = nn.Dense(self.f_hidden, dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Dense(self.f_hidden)(h)
-        h = nn.LayerNorm(epsilon=1e-5)(h)
+        h = nn.Dense(self.f_hidden, dtype=self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Dense(self.f_out)(h)
+        h = nn.Dense(self.f_out, dtype=self.dtype)(h)
         if self.skip:
             return x[..., : self.f_out] + h
         return h
