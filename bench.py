@@ -68,9 +68,11 @@ def main(quick: bool = False):
     # all 57 tangent lanes ride one batched pass (chains x 57 lanes).
     chains = 32
     reps = 1
+    # steps_per_dispatch keeps each device call ~10-20s (long single
+    # dispatches hit the execution deadline of the tunnel)
     opt_sampler = make_ode_sampler(
         v_fn_of, solver="rk4", n_steps=20 if quick else 100, n_save=2,
-        return_dlogp=True, divergence="exact",
+        return_dlogp=True, divergence="exact", steps_per_dispatch=20,
     )
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
     print(f"[bench] optimized rk4: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
@@ -78,7 +80,7 @@ def main(quick: bool = False):
     # --- reference-algorithm shape on the same chip: dopri5 1e-5, batch 12 ---
     ref_sampler = make_ode_sampler(
         v_fn_of, solver="dopri5", n_save=2, atol=1e-5, rtol=1e-5,
-        return_dlogp=True, divergence="exact",
+        return_dlogp=True, divergence="exact", steps_per_dispatch=32,
     )
     ref_rate, ref_nfe = timed(ref_sampler, 12, 1)
     print(f"[bench] reference-shape dopri5: {ref_rate:.3f} samples/s (nfe={ref_nfe})", file=sys.stderr)

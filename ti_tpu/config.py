@@ -60,6 +60,7 @@ class ADWConfig:
     n_step: int = 400
     solver_type: str = "dopri5"  # or euler/heun/rk4
     divergence: str = "exact"
+    steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     use_wandb: bool = False
     project_name: str = "adw-ti-tpu"
 
@@ -106,6 +107,7 @@ class MDQM9Config:
     n_steps: int = 100
     solver_type: str = "dopri5"
     divergence: str = "exact"
+    steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     n_latent_samples: int = 10_000
     latent_traj_path: str = ""
     # io

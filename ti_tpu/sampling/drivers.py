@@ -39,32 +39,159 @@ def make_ode_sampler(
     div_chunk=None,
     t0: float = 0.0,
     t1: float = 1.0,
+    steps_per_dispatch: Optional[int] = None,
+    max_steps: int = 1024,
 ):
-    """Build a jitted batch sampler.
+    """Build a batched transport sampler.
 
     ``v_fn_of(cond) -> v(x, t)`` builds the per-chain velocity closure from
     per-chain conditioning (a pytree; e.g. (T0, T1) scalars). Returns
     ``sampler(x0s, conds, key) -> ODESolution`` batched over axis 0.
+
+    ``steps_per_dispatch`` bounds the number of integrator steps per DEVICE
+    DISPATCH: the integration is resumed across multiple jitted calls (one
+    compile; start time / dlogp are carried). This keeps each dispatch under
+    execution deadlines and enables host-side progress/checkpointing on very
+    long rollouts. None = the whole rollout in one dispatch.
     """
 
-    def one(x0, cond, key):
-        v = v_fn_of(cond)
-        if solver == "dopri5":
-            return sample_ode_dopri5(
-                v, x0, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
+    if steps_per_dispatch is None:
+
+        def one(x0, cond, key):
+            v = v_fn_of(cond)
+            if solver == "dopri5":
+                return sample_ode_dopri5(
+                    v, x0, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
+                    max_steps=max_steps, return_dlogp=return_dlogp,
+                    divergence=divergence, key=key, div_chunk=div_chunk,
+                )
+            return sample_ode(
+                v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
                 div_chunk=div_chunk,
             )
-        return sample_ode(
-            v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
-            return_dlogp=return_dlogp, divergence=divergence, key=key,
-            div_chunk=div_chunk,
+
+        @jax.jit
+        def sampler(x0s, conds, key):
+            keys = jax.random.split(key, x0s.shape[0])
+            return jax.vmap(one)(x0s, conds, keys)
+
+        return sampler
+
+    if solver == "dopri5":
+        return _segmented_dopri5_sampler(
+            v_fn_of, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
+            return_dlogp=return_dlogp, divergence=divergence,
+            div_chunk=div_chunk, steps_per_dispatch=steps_per_dispatch,
         )
+    return _segmented_fixed_sampler(
+        v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save,
+        return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
+        steps_per_dispatch=steps_per_dispatch,
+    )
+
+
+def _segments_per_interval(per_save: int, steps_per_dispatch: int) -> int:
+    """Smallest q dividing per_save with per_save/q <= steps_per_dispatch."""
+    q = max(1, -(-per_save // steps_per_dispatch))
+    while per_save % q:
+        q += 1
+    return q
+
+
+def _segmented_fixed_sampler(
+    v_fn_of, *, solver, t0, t1, n_steps, n_save, return_dlogp, divergence,
+    div_chunk, steps_per_dispatch,
+):
+    per_save = n_steps // (n_save - 1)
+    q = _segments_per_interval(per_save, steps_per_dispatch)
+    sub_steps = per_save // q
+    seg_span = (t1 - t0) / (n_steps // sub_steps)
+    n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
 
     @jax.jit
+    def seg(x, lp, conds, keys, t_start):
+        def one(x0, lp0, cond, key):
+            sol = sample_ode(
+                v_fn_of(cond), x0, t0=t_start, t1=t_start + seg_span,
+                n_steps=sub_steps, n_save=2, method=solver, dlogp0=lp0,
+                return_dlogp=return_dlogp, divergence=divergence, key=key,
+                div_chunk=div_chunk,
+            )
+            return sol.xs[-1], sol.dlogp[-1]
+
+        return jax.vmap(one)(x, lp, conds, keys)
+
     def sampler(x0s, conds, key):
-        keys = jax.random.split(key, x0s.shape[0])
-        return jax.vmap(one)(x0s, conds, keys)
+        c = x0s.shape[0]
+        x = jnp.asarray(x0s)
+        lp = jnp.zeros((c,), x.dtype)
+        xs_saves, lp_saves = [x], [lp]
+        n_segments = (n_save - 1) * q
+        for si in range(n_segments):
+            keys = jax.random.split(jax.random.fold_in(key, si), c)
+            t_start = jnp.asarray(t0 + si * seg_span, x.dtype)
+            x, lp = seg(x, lp, conds, keys, t_start)
+            if (si + 1) % q == 0:
+                xs_saves.append(x)
+                lp_saves.append(lp)
+        nfe = jnp.asarray(n_steps * n_stages, jnp.int32)
+        return ODESolution(
+            xs=jnp.stack(xs_saves, axis=1), dlogp=jnp.stack(lp_saves, axis=1), nfe=nfe
+        )
+
+    return sampler
+
+
+def _segmented_dopri5_sampler(
+    v_fn_of, *, t0, t1, n_save, atol, rtol, return_dlogp, divergence,
+    div_chunk, steps_per_dispatch,
+):
+    if divergence == "hutchinson":
+        raise NotImplementedError(
+            "segmented dopri5 supports exact divergence only (parity mode)"
+        )
+    from ti_tpu.sampling.integrators import dopri5_stepper
+
+    def init_one(x0, cond):
+        init, _ = dopri5_stepper(
+            v_fn_of(cond), jnp.shape(x0), jnp.result_type(x0), t0=t0, t1=t1,
+            atol=atol, rtol=rtol, max_steps=steps_per_dispatch,
+            return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
+        )
+        return init(x0)
+
+    def adv_one(carry, x_like, cond, t_target):
+        _, advance = dopri5_stepper(
+            v_fn_of(cond), jnp.shape(x_like), jnp.result_type(x_like), t0=t0, t1=t1,
+            atol=atol, rtol=rtol, max_steps=steps_per_dispatch,
+            return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
+        )
+        return advance(carry, t_target)
+
+    init_j = jax.jit(jax.vmap(init_one))
+    adv_j = jax.jit(jax.vmap(adv_one, in_axes=(0, 0, 0, None)))
+
+    def sampler(x0s, conds, key):
+        shape = x0s.shape[1:]
+        d = int(np.prod(shape))
+        carry = init_j(x0s, conds)
+        save_ts = np.linspace(0.0, abs(t1 - t0), n_save)
+        ys = [carry[1]]
+        for i in range(1, n_save):
+            target = jnp.asarray(save_ts[i], x0s.dtype)
+            # repeat bounded dispatches until every chain reaches the target
+            for _ in range(64):  # hard backstop
+                carry, y = adv_j(carry, x0s, conds, target)
+                if bool(jnp.all(carry[0] >= target - 1e-6)):
+                    break
+            ys.append(y)
+        ys = jnp.stack(ys, axis=1)  # (B, n_save, d+1)
+        return ODESolution(
+            xs=jnp.reshape(ys[..., :d], x0s.shape[:1] + (n_save,) + shape),
+            dlogp=ys[..., d],
+            nfe=jnp.max(carry[3]),
+        )
 
     return sampler
 
@@ -110,6 +237,7 @@ def sample_adw(
         rtol=cfg.rtol,
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
+        steps_per_dispatch=cfg.steps_per_dispatch or None,
     )
 
     x0j = jnp.asarray(x0, jnp.float32)
@@ -188,6 +316,7 @@ def sample_ambient(
         rtol=cfg.rtol,
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
+        steps_per_dispatch=cfg.steps_per_dispatch or None,
     )
 
     if latent_z is None:
@@ -265,6 +394,7 @@ def sample_latent(
         rtol=cfg.rtol,
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
+        steps_per_dispatch=cfg.steps_per_dispatch or None,
     )
 
     key = jax.random.PRNGKey(cfg.seed)

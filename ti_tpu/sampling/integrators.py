@@ -128,13 +128,17 @@ def sample_ode(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    dlogp0: Optional[Array] = None,
 ) -> ODESolution:
     """Fixed-step probability-flow ODE with fused dlogp carry.
 
     Integrates dx/dt = b(x, t), d(dlogp)/dt = -div b from t0 to t1 in
     ``n_steps`` uniform steps, saving ``n_save`` states at uniform times
     (n_steps must be a multiple of n_save - 1). Reverse transport: pass
-    t0=1.0, t1=0.0. Single chain; wrap in ``jax.vmap`` for batches.
+    t0=1.0, t1=0.0. t0/t1 may be traced scalars and ``dlogp0`` seeds the
+    accumulated log-density, so long integrations can be RESUMED across
+    separate device dispatches (the drivers use this to keep each dispatch
+    under the execution deadline). Single chain; vmap for batches.
     """
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
@@ -149,7 +153,7 @@ def sample_ode(
     a = jnp.asarray(aa, x0.dtype)
     b = jnp.asarray(bb, x0.dtype)
     n_stages = int(bb.shape[0])
-    dt = (t1 - t0) / n_steps
+    dt = (jnp.asarray(t1, x0.dtype) - jnp.asarray(t0, x0.dtype)) / n_steps
     per_save = n_steps // (n_save - 1)
 
     def step(y, i):
@@ -160,7 +164,10 @@ def sample_ode(
         y, _ = jax.lax.scan(step, y, block_idx * per_save + jnp.arange(per_save))
         return y, y
 
-    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), jnp.zeros((1,), x0.dtype)])
+    lp0 = jnp.zeros((1,), x0.dtype) if dlogp0 is None else jnp.reshape(
+        jnp.asarray(dlogp0, x0.dtype), (1,)
+    )
+    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), lp0])
     _, ys_tail = jax.lax.scan(save_block, y0, jnp.arange(n_save - 1))
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
     nfe = jnp.asarray(n_steps * n_stages, dtype=jnp.int32)
@@ -187,6 +194,100 @@ _DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 
 _DP_B4 = np.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
 )
+
+
+def dopri5_stepper(
+    v_fn: VelocityFn,
+    shape,
+    dtype,
+    *,
+    t0: float = 0.0,
+    t1: float = 1.0,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    max_steps: int = 1024,
+    return_dlogp: bool = True,
+    divergence: str = "exact",
+    key: Optional[Array] = None,
+    num_probes: int = 8,
+    div_chunk: Optional[int] = None,
+    first_dt: float = 0.01,
+):
+    """Resumable adaptive RK45: returns (init, advance).
+
+    ``init(x0) -> carry``; ``advance(carry, tau_target) -> (carry, y)``
+    advances to internal time tau_target in [0, |t1-t0|], bounded by
+    ``max_steps`` accepted/rejected steps per call. Both are jittable and
+    vmappable, so callers can split a long integration into several device
+    dispatches (each bounded), which the tunnel's execution deadline
+    requires for big chain batches.
+    carry = (tau, y, dt, nfe) with y the flattened joint (x, dlogp) state.
+    """
+    d = int(np.prod(shape)) if shape else 1
+    rhs0 = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
+    direction = 1.0 if t1 >= t0 else -1.0  # internal time tau = dir*(t - t0)
+
+    def rhs(y, tau, idx):
+        return direction * rhs0(y, t0 + direction * tau, idx)
+
+    c_t = jnp.asarray(_DP_C, dtype)
+    a_t = jnp.asarray(_DP_A, dtype)
+    b5_t = jnp.asarray(_DP_B5, dtype)
+    b4_t = jnp.asarray(_DP_B4, dtype)
+    # f32-appropriate completion tolerance (1e-12 never triggers in f32)
+    t_eps = 10.0 * float(jnp.finfo(dtype).eps)
+
+    def err_norm(err, y, y_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def init(x0, dlogp0=None):
+        lp0 = jnp.zeros((1,), dtype) if dlogp0 is None else jnp.reshape(
+            jnp.asarray(dlogp0, dtype), (1,)
+        )
+        y0 = jnp.concatenate([jnp.reshape(x0, (d,)), lp0])
+        return (
+            jnp.asarray(0.0, dtype), y0, jnp.asarray(first_dt, dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    def advance(carry, t_target):
+        nfe_start = carry[3]  # bound is per-call, nfe accumulates across calls
+
+        def cond(state):
+            t, _, _, nfe, done = state
+            return jnp.logical_and(~done, nfe < nfe_start + 7 * max_steps)
+
+        def body(state):
+            t, y, dt, nfe, _ = state
+            dt_c = jnp.minimum(dt, t_target - t)
+
+            def stage(ks, i):
+                yi = y + dt_c * (a_t[i] @ ks)
+                k = rhs(yi, t + c_t[i] * dt_c, nfe + i)
+                return ks.at[i].set(k), None
+
+            ks0 = jnp.zeros((7,) + y.shape, dtype=y.dtype)
+            ks, _ = jax.lax.scan(stage, ks0, jnp.arange(7))
+            y5 = y + dt_c * (b5_t @ ks)
+            y4 = y + dt_c * (b4_t @ ks)
+            en = err_norm(y5 - y4, y, y5)
+
+            accept = en <= 1.0
+            t_new = jnp.where(accept, t + dt_c, t)
+            y_new = jnp.where(accept, y5, y)
+            factor = jnp.clip(0.9 * (en + 1e-16) ** (-0.2), 0.2, 10.0)
+            dt_new = jnp.maximum(dt_c * factor, t_eps)
+            done = t_new >= t_target - t_eps
+            return (t_new, y_new, dt_new, nfe + 7, done)
+
+        t, y, dt, nfe = carry
+        t, y, dt, nfe, _ = jax.lax.while_loop(
+            cond, body, (t, y, dt, nfe, t >= t_target - t_eps)
+        )
+        return (t, y, dt, nfe), y
+
+    return init, advance
 
 
 def sample_ode_dopri5(
@@ -219,67 +320,17 @@ def sample_ode_dopri5(
 
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
-    rhs0 = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
-    direction = 1.0 if t1 >= t0 else -1.0  # internal time tau = dir*(t - t0)
-
-    def rhs(y, tau, idx):
-        return direction * rhs0(y, t0 + direction * tau, idx)
-
     dtype = jnp.result_type(x0)
-    c_t = jnp.asarray(_DP_C, dtype)
-    a_t = jnp.asarray(_DP_A, dtype)
-    b5_t = jnp.asarray(_DP_B5, dtype)
-    b4_t = jnp.asarray(_DP_B4, dtype)
-    save_ts = jnp.linspace(0.0, abs(t1 - t0), n_save)
-    # f32-appropriate completion tolerance (1e-12 never triggers in f32)
-    t_eps = 10.0 * float(jnp.finfo(dtype).eps)
-
-    def err_norm(err, y, y_new):
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
-
-    def advance_to(carry, t_target):
-        def cond(state):
-            t, _, _, nfe, done = state
-            return jnp.logical_and(~done, nfe < 7 * max_steps)
-
-        def body(state):
-            t, y, dt, nfe, _ = state
-            dt_c = jnp.minimum(dt, t_target - t)
-
-            def stage(ks, i):
-                yi = y + dt_c * (a_t[i] @ ks)
-                k = rhs(yi, t + c_t[i] * dt_c, nfe + i)
-                return ks.at[i].set(k), None
-
-            ks0 = jnp.zeros((7,) + y.shape, dtype=y.dtype)
-            ks, _ = jax.lax.scan(stage, ks0, jnp.arange(7))
-            y5 = y + dt_c * (b5_t @ ks)
-            y4 = y + dt_c * (b4_t @ ks)
-            en = err_norm(y5 - y4, y, y5)
-
-            accept = en <= 1.0
-            t_new = jnp.where(accept, t + dt_c, t)
-            y_new = jnp.where(accept, y5, y)
-            factor = jnp.clip(0.9 * (en + 1e-16) ** (-0.2), 0.2, 10.0)
-            dt_new = jnp.maximum(dt_c * factor, t_eps)
-            done = t_new >= t_target - t_eps
-            return (t_new, y_new, dt_new, nfe + 7, done)
-
-        t, y, dt, nfe, _ = carry
-        t, y, dt, nfe, _ = jax.lax.while_loop(
-            cond, body, (t, y, dt, nfe, t >= t_target - t_eps)
-        )
-        return (t, y, dt, nfe, False), y
-
-    y0 = jnp.concatenate([jnp.reshape(x0, (d,)), jnp.zeros((1,), dtype=dtype)])
-    carry = (
-        jnp.asarray(0.0, dtype), y0, jnp.asarray(first_dt, dtype),
-        jnp.asarray(0, jnp.int32), False,
+    init, advance = dopri5_stepper(
+        v_fn, shape, dtype, t0=t0, t1=t1, atol=atol, rtol=rtol,
+        max_steps=max_steps, return_dlogp=return_dlogp, divergence=divergence,
+        key=key, num_probes=num_probes, div_chunk=div_chunk, first_dt=first_dt,
     )
-    ys = [y0]
+    save_ts = jnp.linspace(0.0, abs(t1 - t0), n_save)
+    carry = init(x0)
+    ys = [carry[1]]
     for i in range(1, n_save):
-        carry, y = advance_to(carry, save_ts[i])
+        carry, y = advance(carry, save_ts[i])
         ys.append(y)
     ys = jnp.stack(ys)
     return ODESolution(
