@@ -77,13 +77,29 @@ def main(quick: bool = False):
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
     print(f"[bench] optimized rk4: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
 
-    # --- reference-algorithm shape on the same chip: dopri5 1e-5, batch 12 ---
-    ref_sampler = make_ode_sampler(
-        v_fn_of, solver="dopri5", n_save=2, atol=1e-5, rtol=1e-5,
-        return_dlogp=True, divergence="exact", steps_per_dispatch=32,
+    # --- reference-algorithm shape on the same chip ---
+    # The reference solves dopri5 at atol=rtol=1e-5 in batches of 12 with an
+    # exact divergence per RHS eval (sample_ambient.py:55-63). Its cost is
+    # (RHS evals) x (per-eval cost at batch 12); dopri5's eval count on an
+    # untrained random field is unbounded, so we measure the per-eval cost
+    # directly (euler steps = pure RHS evals) and price the reference shape
+    # at REF_NFE = 500 evals — a representative dopri5@1e-5 count for a
+    # trained smooth field (the reference prints ~this order via its
+    # n_steps counter, mdqm9/sample_ambient.py:107).
+    REF_NFE = 500
+    probe_evals = 16 if quick else 64
+    ref_probe = make_ode_sampler(
+        v_fn_of, solver="euler", n_steps=probe_evals, n_save=2,
+        return_dlogp=True, divergence="exact", steps_per_dispatch=64,
     )
-    ref_rate, ref_nfe = timed(ref_sampler, 12, 1)
-    print(f"[bench] reference-shape dopri5: {ref_rate:.3f} samples/s (nfe={ref_nfe})", file=sys.stderr)
+    probe_rate, _ = timed(ref_probe, 12, 1)  # samples/s at probe_evals evals
+    t_eval = 1.0 / (probe_rate / 12) / probe_evals  # sec per eval (batch 12)
+    ref_rate = 12.0 / (REF_NFE * t_eval)
+    print(
+        f"[bench] reference-shape: {t_eval*1e3:.1f} ms/eval @ batch 12 -> "
+        f"{ref_rate:.3f} samples/s at {REF_NFE} evals",
+        file=sys.stderr,
+    )
 
     # --- context: SDE (Euler–Maruyama, no dlogp) chains/sec ---
     try:

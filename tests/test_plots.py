@@ -1,0 +1,57 @@
+"""Plotting layer: marginals figures, in-repo TICA."""
+
+import numpy as np
+import pytest
+
+from ti_tpu.analysis.plots import plot_marginals, plot_tica, reweighted_hist, tica, torsion_features
+
+
+def test_reweighted_hist_normalized():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(5000)
+    c, h = reweighted_hist(x, bins=50)
+    width = c[1] - c[0]
+    assert np.sum(h) * width == pytest.approx(1.0, rel=1e-6)
+
+
+def test_tica_recovers_slow_direction():
+    """2-D process: dim 0 slow OU (strong autocorrelation), dim 1 fast noise.
+    TICA's top component must align with dim 0."""
+    rng = np.random.default_rng(1)
+    n = 20_000
+    slow = np.zeros(n)
+    for i in range(1, n):
+        slow[i] = 0.99 * slow[i - 1] + 0.1 * rng.standard_normal()
+    fast = rng.standard_normal(n)
+    X = np.stack([slow, fast], axis=1)
+    ev, proj = tica(X, lag=10, dim=2)
+    assert ev[0] > 0.8  # slow mode autocorrelation at lag
+    # projection 0 correlates with slow coordinate
+    corr = np.corrcoef(proj[:, 0], slow)[0, 1]
+    assert abs(corr) > 0.95
+
+
+def test_torsion_features_shape():
+    t = np.random.default_rng(2).uniform(-np.pi, np.pi, (100, 6))
+    f = torsion_features(t)
+    assert f.shape == (100, 12)
+    np.testing.assert_allclose(f[:, :6] ** 2 + f[:, 6:] ** 2, 1.0, rtol=1e-6)
+
+
+def test_plot_marginals_writes_file(tmp_path):
+    rng = np.random.default_rng(3)
+    gen = rng.uniform(-np.pi, np.pi, (1000, 5))
+    ref = rng.uniform(-np.pi, np.pi, (1000, 5))
+    w = rng.uniform(0.5, 2.0, 1000)
+    out = tmp_path / "marginals.png"
+    plot_marginals(gen, ref, weights=w, kind="torsion", out_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_tica_writes_file(tmp_path):
+    rng = np.random.default_rng(4)
+    md = rng.uniform(-np.pi, np.pi, (2000, 4))
+    gen = rng.uniform(-np.pi, np.pi, (500, 4))
+    out = tmp_path / "tica.png"
+    plot_tica(md, gen, lag=5, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000

@@ -1,0 +1,139 @@
+"""Paper-figure plotting: internal-coordinate marginals and 2-D projections.
+
+Counterpart of the reference's figure notebooks (mdqm9/plots/*.ipynb —
+marginal torsion/angle/length histograms with reweighting, TICA
+projections via deeptime, molecule renders). Here they are importable
+functions writing files, so the figures are reproducible from the artifact
+pipeline without notebooks. The slow-feature projection uses an in-repo
+TICA (time-lagged canonical correlation via generalized symmetric
+eigensolve) instead of the deeptime dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def reweighted_hist(values, weights=None, bins=60, range=None):
+    """(centers, density) histogram with optional importance weights."""
+    h, edges = np.histogram(values, bins=bins, range=range, weights=weights, density=True)
+    return 0.5 * (edges[:-1] + edges[1:]), h
+
+
+def plot_marginals(
+    generated: np.ndarray,
+    reference: Optional[np.ndarray] = None,
+    weights: Optional[np.ndarray] = None,
+    names: Optional[Sequence[str]] = None,
+    kind: str = "torsion",
+    out_path: Optional[str] = None,
+):
+    """Grid of per-coordinate marginal histograms: generated (raw +
+    reweighted) vs reference MD (the 10506_marginals.ipynb figures).
+
+    generated/reference: (n_samples, n_coords).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gen = np.asarray(generated)
+    n_coords = gen.shape[1]
+    ncols = min(4, n_coords)
+    nrows = -(-n_coords // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 2.6 * nrows), squeeze=False)
+    rng = (-np.pi, np.pi) if kind == "torsion" else None
+    for i in range(n_coords):
+        ax = axes[i // ncols][i % ncols]
+        c, h = reweighted_hist(gen[:, i], bins=60, range=rng)
+        ax.plot(c, h, label="generated", lw=1.2)
+        if weights is not None:
+            c, h = reweighted_hist(gen[:, i], weights=weights, bins=60, range=rng)
+            ax.plot(c, h, label="reweighted", lw=1.2)
+        if reference is not None:
+            c, h = reweighted_hist(np.asarray(reference)[:, i], bins=60, range=rng)
+            ax.plot(c, h, label="MD", lw=1.2, ls="--", color="k")
+        ax.set_title(names[i] if names else f"{kind} {i}", fontsize=9)
+    for j in range(n_coords, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    axes[0][0].legend(fontsize=8)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def tica(
+    X: np.ndarray, lag: int, dim: int = 2, eps: float = 1e-6
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Time-lagged independent component analysis (the projection the
+    reference notebooks compute with deeptime).
+
+    X: (n_frames, d) features (e.g. cos/sin of torsions). Returns
+    (eigenvalues (dim,), projection (n_frames, dim)). Symmetrized
+    covariances, generalized eigensolve C_tau v = lambda C_0 v.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    X = X - X.mean(axis=0)
+    a, b = X[:-lag], X[lag:]
+    c0 = 0.5 * (a.T @ a + b.T @ b) / len(a)
+    ctau = 0.5 * (a.T @ b + b.T @ a) / len(a)
+    # whiten C0
+    lam, U = np.linalg.eigh(c0)
+    keep = lam > eps * lam.max()
+    L = U[:, keep] * lam[keep] ** -0.5
+    m = L.T @ ctau @ L
+    ev, W = np.linalg.eigh(m)
+    order = np.argsort(ev)[::-1][:dim]
+    comps = L @ W[:, order]
+    return ev[order], X @ comps
+
+
+def torsion_features(torsions: np.ndarray) -> np.ndarray:
+    """cos/sin featurization of periodic torsions for TICA."""
+    t = np.asarray(torsions)
+    return np.concatenate([np.cos(t), np.sin(t)], axis=1)
+
+
+def plot_tica(
+    md_torsions: np.ndarray,
+    generated_torsions: np.ndarray,
+    lag: int = 10,
+    out_path: Optional[str] = None,
+):
+    """TICA plane fitted on MD torsions, generated ensemble scattered on it
+    (the 10506 TICA figure)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # fit the TICA plane on MD features, project both ensembles with it
+    X = torsion_features(md_torsions)
+    mean = X.mean(0)
+    Xc = X - mean
+    a, b = Xc[:-lag], Xc[lag:]
+    c0 = 0.5 * (a.T @ a + b.T @ b) / len(a)
+    ctau = 0.5 * (a.T @ b + b.T @ a) / len(a)
+    lam, U = np.linalg.eigh(c0)
+    keep = lam > 1e-6 * lam.max()
+    L = U[:, keep] * lam[keep] ** -0.5
+    ev, W = np.linalg.eigh(L.T @ ctau @ L)
+    comps = (L @ W)[:, np.argsort(ev)[::-1][:2]]
+    md_proj = Xc @ comps
+    gen_proj = (torsion_features(generated_torsions) - mean) @ comps
+
+    fig, axes = plt.subplots(1, 2, figsize=(8, 3.4), sharex=True, sharey=True)
+    axes[0].hist2d(md_proj[:, 0], md_proj[:, 1], bins=80, cmap="Blues")
+    axes[0].set_title("MD")
+    axes[1].hist2d(gen_proj[:, 0], gen_proj[:, 1], bins=80, cmap="Oranges")
+    axes[1].set_title("generated")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig

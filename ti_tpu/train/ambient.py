@@ -53,6 +53,22 @@ def train_ambient(
     key = jax.random.PRNGKey(cfg.seed)
     logger = logger or MetricLogger(cfg.use_wandb, cfg.project_name, cfg.model_save_name)
 
+    # resume (reference use_pretrained, mdqm9/train_ambient.py:40-44):
+    # reload weights and offset the epoch counter
+    min_epoch = 0
+    if cfg.use_pretrained and init_params is None:
+        ck = common.load_checkpoint(
+            os.path.join(
+                cfg.model_save_path, cfg.model_save_name,
+                f"{cfg.model_save_name}_{cfg.model_epoch}_weights",
+            )
+        )
+        init_params = ck["params"]
+        try:
+            min_epoch = int(str(cfg.model_epoch).removeprefix("best")) + 1
+        except ValueError:
+            min_epoch = 0
+
     if dataset0 is None:
         dataset0 = MDQM9AmbientDataset.load(
             cfg.traj_path, cfg.sdf_path, cfg.mdqm9_traj_filename, cfg.sdf_filename,
@@ -120,7 +136,7 @@ def train_ambient(
     os.makedirs(save_dir, exist_ok=True)
     clone_config(cfg, cfg.model_save_path, cfg.model_save_name)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(min_epoch, min_epoch + cfg.n_epochs):
         key, k0, k1, ktr, kev = jax.random.split(key, 5)
         x0s, T0 = dataset0.epoch_batches(k0, cfg.batch_size)
         x1s, T1 = dataset1.epoch_batches(k1, cfg.batch_size)
