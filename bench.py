@@ -5,8 +5,10 @@ reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
 dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 (19 atoms, cPaiNN F=128 x 5 layers).
 
-value        = TPU-first path: fixed-step RK4(100) with the divergence
-               fused via jax.linearize, vmapped over a large chain batch.
+value        = TPU-first path: fixed-step RK4(100) trajectory + the
+               quadrature-decoupled exact dlogp (Simpson over 21 divergence
+               nodes; accuracy vs the stage-coupled dlogp quantified in
+               tests/test_adw_physics.py), vmapped over a chain batch.
 vs_baseline  = value / (reference-algorithm shape on the SAME chip):
                adaptive dopri5 at atol=rtol=1e-5 (the reference's solver
                settings, 00031_settings_no_300.json:34-36) at the

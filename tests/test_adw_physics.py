@@ -123,3 +123,27 @@ def test_round_trip_transport(trained, transported):
     dlogp_back = np.asarray(sol.dlogp[:, -1])
     np.testing.assert_allclose(x0_rec, x0[:500], atol=1e-3)
     np.testing.assert_allclose(dlogp[:500] + dlogp_back, 0.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_quad_dlogp_matches_full_on_trained_model(trained, transported):
+    """The quadrature-decoupled dlogp (the fast production path) must agree
+    with the stage-coupled dlogp on a REAL trained field."""
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    cfg, result, x0 = trained
+    _, _, dlogp_full = transported
+    v = _v_fn(result)
+
+    errs = {}
+    for pts in (17, 33):
+        sol = jax.jit(lambda xs, p=pts: jax.vmap(
+            lambda x: sample_ode_quad_dlogp(v, x, n_steps=128, div_points=p, method="rk4")
+        )(xs))(jnp.asarray(x0[:1000])[:, None])
+        errs[pts] = np.abs(np.asarray(sol.dlogp[:, -1]) - dlogp_full[:1000])
+
+    # converges with node count; at 33 nodes the log-weight error is
+    # negligible for TFEP (<1e-2 at p99 ~ <1% weight perturbation)
+    assert np.percentile(errs[33], 99) <= np.percentile(errs[17], 99) + 1e-5
+    assert np.percentile(errs[33], 99) < 5e-3, np.percentile(errs[33], 99)
+    assert float(np.max(errs[33])) < 5e-2

@@ -174,3 +174,51 @@ def test_vmapped_chains_shapes():
     sol = jax.vmap(lambda x: sample_ode(lambda y, t: -y, x, n_steps=8, n_save=5))(x0)
     assert sol.xs.shape == (10, 5, 3)
     assert sol.dlogp.shape == (10, 5)
+
+
+def test_quad_dlogp_exact_for_linear_flow():
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    x0 = jnp.array([0.7, 0.3])
+    sol = sample_ode_quad_dlogp(linear_field, x0, n_steps=40, div_points=5)
+    # constant divergence: Simpson is exact
+    np.testing.assert_allclose(float(sol.dlogp[-1]), -float(jnp.trace(A)), rtol=1e-5)
+    full = sample_ode(linear_field, x0, n_steps=40, method="rk4")
+    np.testing.assert_allclose(np.asarray(sol.xs[-1]), np.asarray(full.xs[-1]), rtol=1e-6)
+
+
+def test_quad_dlogp_matches_full_on_nonlinear():
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    def field(x, t):
+        return jnp.sin(x) * (1.0 + 0.5 * t) + 0.1 * x**2
+
+    x0 = jnp.array([0.4, -0.8, 1.1])
+    full = sample_ode(field, x0, n_steps=240, method="rk4")
+    quad = sample_ode_quad_dlogp(field, x0, n_steps=240, div_points=25)
+    np.testing.assert_allclose(float(quad.dlogp[-1]), float(full.dlogp[-1]), atol=2e-4)
+
+
+def test_quad_dlogp_multiple_save_points():
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    def field(x, t):
+        return -x * (1.0 + t)
+
+    x0 = jnp.array([1.0, 2.0])
+    quad = sample_ode_quad_dlogp(field, x0, n_steps=48, div_points=25, n_save=4)
+    full = sample_ode(field, x0, n_steps=48, method="rk4", n_save=4)
+    assert quad.xs.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(quad.dlogp), np.asarray(full.dlogp), atol=1e-4)
+
+
+def test_quad_dlogp_validation():
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    x0 = jnp.ones(2)
+    with pytest.raises(ValueError):
+        sample_ode_quad_dlogp(linear_field, x0, n_steps=40, div_points=4)
+    with pytest.raises(ValueError):
+        sample_ode_quad_dlogp(linear_field, x0, n_steps=41, div_points=5)
+    with pytest.raises(ValueError):
+        sample_ode_quad_dlogp(linear_field, x0, n_steps=40, div_points=5, n_save=5)

@@ -64,3 +64,25 @@ def test_segmented_uneven_dispatch_size():
     a = single(x0, conds, key)
     b = seg(x0, conds, key)
     np.testing.assert_allclose(np.asarray(b.xs), np.asarray(a.xs), rtol=1e-5, atol=1e-6)
+
+
+def test_quad_dlogp_sampler_matches_full():
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(key, (4, 3))
+    conds = jnp.linspace(0.5, 1.2, 4)
+
+    full = make_ode_sampler(_v_fn_of, solver="rk4", n_steps=48, n_save=2)
+    quad_single = make_ode_sampler(
+        _v_fn_of, solver="rk4", n_steps=48, n_save=2, dlogp_quad_points=13
+    )
+    quad_seg = make_ode_sampler(
+        _v_fn_of, solver="rk4", n_steps=48, n_save=2, dlogp_quad_points=13,
+        steps_per_dispatch=8,
+    )
+    a = full(x0, conds, key)
+    b = quad_single(x0, conds, key)
+    c = quad_seg(x0, conds, key)
+    np.testing.assert_allclose(np.asarray(b.xs), np.asarray(a.xs), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.dlogp), np.asarray(a.dlogp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c.xs), np.asarray(b.xs), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c.dlogp), np.asarray(b.dlogp), atol=1e-5)

@@ -41,6 +41,7 @@ def make_ode_sampler(
     t1: float = 1.0,
     steps_per_dispatch: Optional[int] = None,
     max_steps: int = 1024,
+    dlogp_quad_points: Optional[int] = None,
 ):
     """Build a batched transport sampler.
 
@@ -53,7 +54,25 @@ def make_ode_sampler(
     compile; start time / dlogp are carried). This keeps each dispatch under
     execution deadlines and enables host-side progress/checkpointing on very
     long rollouts. None = the whole rollout in one dispatch.
+
+    ``dlogp_quad_points`` (odd, >= 3; fixed-step solvers only) switches to
+    the quadrature-decoupled dlogp path (integrators.sample_ode_quad_dlogp):
+    the trajectory is integrated with cheap velocity-only steps and the
+    divergence is Simpson-integrated over this many nodes — ~(3N·n_stages·
+    n_steps)/(3N·K) ≈ 15x cheaper at parity-level accuracy for smooth
+    trained fields (accuracy quantified in tests/test_integrators.py and
+    tests/test_adw_physics.py).
     """
+
+    if dlogp_quad_points is not None and return_dlogp:
+        if solver == "dopri5":
+            raise ValueError("dlogp_quad_points requires a fixed-step solver")
+        return _quad_dlogp_sampler(
+            v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
+            n_save=n_save, div_points=dlogp_quad_points,
+            divergence=divergence, div_chunk=div_chunk,
+            steps_per_dispatch=steps_per_dispatch,
+        )
 
     if steps_per_dispatch is None:
 
@@ -138,6 +157,85 @@ def _segmented_fixed_sampler(
         nfe = jnp.asarray(n_steps * n_stages, jnp.int32)
         return ODESolution(
             xs=jnp.stack(xs_saves, axis=1), dlogp=jnp.stack(lp_saves, axis=1), nfe=nfe
+        )
+
+    return sampler
+
+
+def _quad_dlogp_sampler(
+    v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
+    div_chunk, steps_per_dispatch,
+):
+    """Driver-level quadrature-decoupled dlogp: velocity-only transport
+    saving the div grid (optionally segmented into bounded dispatches),
+    then ONE bounded divergence dispatch per grid node."""
+    from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson
+    from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
+
+    m = div_points - 1
+    if div_points < 3 or div_points % 2 == 0 or n_steps % m != 0:
+        raise ValueError("div_points must be odd >= 3 and (div_points-1) | n_steps")
+    if (n_save - 1) <= 0 or m % (n_save - 1) != 0 or (m // (n_save - 1)) % 2 != 0:
+        raise ValueError("n_save-1 must divide div_points-1 with even quotient")
+
+    if steps_per_dispatch is None:
+        # single-dispatch: the integrator-level implementation end to end
+        @jax.jit
+        def sampler_single(x0s, conds, key):
+            keys = jax.random.split(key, x0s.shape[0])
+            return jax.vmap(
+                lambda x, c, k: sample_ode_quad_dlogp(
+                    v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
+                    div_points=div_points, n_save=n_save, method=solver,
+                    divergence=divergence, key=k, div_chunk=div_chunk,
+                )
+            )(x0s, conds, keys)
+
+        return sampler_single
+
+    # segmented: velocity transport via the bounded-dispatch machinery
+    traj_sampler = _segmented_fixed_sampler(
+        v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
+        n_save=div_points, return_dlogp=False, divergence=divergence,
+        div_chunk=div_chunk, steps_per_dispatch=steps_per_dispatch,
+    )
+
+    @jax.jit
+    def div_batch(xs, conds, t, key):
+        def one(x, cond, k):
+            f = lambda y: v_fn_of(cond)(y, t)
+            if divergence == "exact":
+                return divergence_exact(f, x, chunk=div_chunk)[1]
+            return divergence_hutchinson(f, x, k, num_probes=8)[1]
+
+        keys = jax.random.split(key, xs.shape[0])
+        return jax.vmap(one)(xs, conds, keys)
+
+    n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
+    ts = np.linspace(t0, t1, div_points)
+
+    def sampler(x0s, conds, key):
+        sol = traj_sampler(x0s, conds, key)  # xs (C, div_points, ...)
+        divs = jnp.stack(
+            [
+                div_batch(sol.xs[:, j], conds, jnp.asarray(ts[j], x0s.dtype),
+                          jax.random.fold_in(key, 10_000 + j))
+                for j in range(div_points)
+            ],
+            axis=1,
+        )  # (C, div_points)
+        h = (t1 - t0) / m
+        pair = (h / 3.0) * (divs[:, :-2:2] + 4.0 * divs[:, 1:-1:2] + divs[:, 2::2])
+        cum = jnp.concatenate(
+            [jnp.zeros((divs.shape[0], 1), divs.dtype), jnp.cumsum(pair, axis=1)], axis=1
+        )
+        dlogp_grid = -cum
+        stride = m // (n_save - 1)
+        out_idx = np.arange(n_save) * stride
+        return ODESolution(
+            xs=sol.xs[:, out_idx],
+            dlogp=dlogp_grid[:, out_idx // 2],
+            nfe=jnp.asarray(n_steps * n_stages + div_points, jnp.int32),
         )
 
     return sampler

@@ -377,3 +377,84 @@ def sample_sde(
 
     _, xs_tail = jax.lax.scan(save_block, x0, jnp.arange(n_save - 1))
     return jnp.concatenate([x0[None], xs_tail], axis=0)
+
+
+def sample_ode_quad_dlogp(
+    v_fn: VelocityFn,
+    x0: Array,
+    *,
+    t0: float = 0.0,
+    t1: float = 1.0,
+    n_steps: int = 100,
+    div_points: int = 21,
+    n_save: int = 2,
+    method: str = "rk4",
+    divergence: str = "exact",
+    key: Optional[Array] = None,
+    num_probes: int = 8,
+    div_chunk: Optional[int] = None,
+) -> ODESolution:
+    """Transport with QUADRATURE-DECOUPLED dlogp — the fast product path.
+
+    The reference (and ``sample_ode``) evaluates the divergence inside every
+    solver stage because torchdiffeq couples the (x, dlogp) system
+    (adw/thermo/integrators.py:49-55). But dlogp = -∫ div b(x(t), t) dt is a
+    1-D integral of a SMOOTH scalar along the trajectory: integrating x
+    densely while sampling div at ``div_points`` Chebyshev-free uniform
+    nodes with composite Simpson is O(h^4) accurate and removes the
+    3N-tangent divergence cost from all but ~21 evaluations. Cost drops from
+    n_stages*n_steps*(1+3N) to n_stages*n_steps + div_points*(1+3N) network
+    passes per sample (~14x for the MDQM9 configs).
+
+    Two phases (no data-dependent control flow, so vmap stays dense):
+      1) velocity-only RK integration saving the trajectory at the
+         div_points grid (and at the n_save output grid);
+      2) one batched divergence evaluation over all saved nodes + Simpson.
+
+    ``div_points`` must be odd (Simpson pairs) and (div_points-1) must
+    divide n_steps; n_save-1 must also divide (div_points-1) so output
+    times align with quadrature nodes (dlogp reported at those times via
+    cumulative Simpson).
+    """
+    if div_points < 3 or div_points % 2 == 0:
+        raise ValueError("div_points must be odd and >= 3")
+    m = div_points - 1
+    if n_steps % m != 0:
+        raise ValueError("(div_points - 1) must divide n_steps")
+    if (n_save - 1) <= 0 or m % (n_save - 1) != 0 or (m // (n_save - 1)) % 2 != 0:
+        raise ValueError(
+            "n_save - 1 must divide div_points - 1 with an even quotient "
+            "(cumulative Simpson needs paired intervals per output time)"
+        )
+
+    # phase 1: velocity-only transport, saving the quadrature grid
+    sol = sample_ode(
+        v_fn, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=div_points,
+        method=method, return_dlogp=False,
+    )
+    ts = jnp.linspace(t0, t1, div_points)
+
+    # phase 2: batched divergence at the grid nodes
+    rhs = _make_rhs_joint(
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk
+    )
+    d = int(jnp.size(x0))
+
+    def div_at(x, t, i):
+        y = jnp.concatenate([jnp.reshape(x, (d,)), jnp.zeros((1,), x.dtype)])
+        return -rhs(y, t, i)[d]  # rhs carries -div in the last slot
+
+    divs = jax.vmap(div_at)(sol.xs, ts, jnp.arange(div_points))
+
+    # cumulative composite Simpson of -div over pairs of intervals
+    h = (t1 - t0) / m
+    pair = (h / 3.0) * (divs[:-2:2] + 4.0 * divs[1:-1:2] + divs[2::2])
+    cum = jnp.concatenate([jnp.zeros((1,), divs.dtype), jnp.cumsum(pair)])
+    dlogp_grid = -cum  # at nodes 0, 2, 4, ... (div_points+1)//2 values
+
+    stride = m // (n_save - 1)
+    out_idx = jnp.arange(n_save) * stride  # node indices of output times
+    xs_out = sol.xs[out_idx]
+    dlogp_out = dlogp_grid[out_idx // 2]
+    nfe = sol.nfe + jnp.asarray(div_points, jnp.int32)
+    return ODESolution(xs=xs_out, dlogp=dlogp_out, nfe=nfe)
