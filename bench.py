@@ -65,19 +65,21 @@ def main(quick: bool = False):
         dt = time.perf_counter() - t0
         return c * n_rep / dt, int(np.max(np.asarray(sol.nfe)))
 
-    # --- optimized TPU-first path: fixed-step RK4, fused exact dlogp ---
-    # FLOP-bound: ~n_steps*4 evals x (1 primal + 3N tangent) passes/sample;
-    # all 57 tangent lanes ride one batched pass (chains x 57 lanes).
-    chains = 32
+    # --- optimized TPU-first path: RK4 trajectory + quadrature dlogp ---
+    # cost = 4*n_steps cheap velocity evals + div_points expensive
+    # (1 + 3N-tangent) divergence evals, vs the reference formulation's
+    # 4*n_steps*(1+3N). steps_per_dispatch bounds each device call
+    # (long single dispatches hit the tunnel's execution deadline);
+    # div_chunk bounds HBM for the tangent lanes.
+    chains = 32 if quick else 64
     reps = 1
-    # steps_per_dispatch keeps each device call ~10-20s (long single
-    # dispatches hit the execution deadline of the tunnel)
     opt_sampler = make_ode_sampler(
         v_fn_of, solver="rk4", n_steps=20 if quick else 100, n_save=2,
-        return_dlogp=True, divergence="exact", steps_per_dispatch=20,
+        return_dlogp=True, divergence="exact", steps_per_dispatch=25,
+        dlogp_quad_points=5 if quick else 21, div_chunk=16,
     )
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
-    print(f"[bench] optimized rk4: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
+    print(f"[bench] optimized rk4+quad-dlogp: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
 
     # --- reference-algorithm shape on the same chip ---
     # The reference solves dopri5 at atol=rtol=1e-5 in batches of 12 with an

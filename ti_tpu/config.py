@@ -61,6 +61,7 @@ class ADWConfig:
     solver_type: str = "dopri5"  # or euler/heun/rk4
     divergence: str = "exact"
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
+    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; odd K = Simpson nodes
     use_wandb: bool = False
     project_name: str = "adw-ti-tpu"
 
@@ -108,6 +109,7 @@ class MDQM9Config:
     solver_type: str = "dopri5"
     divergence: str = "exact"
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
+    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; odd K = Simpson nodes
     n_latent_samples: int = 10_000
     latent_traj_path: str = ""
     # io

@@ -336,6 +336,7 @@ def sample_adw(
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
+        dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
     )
 
     x0j = jnp.asarray(x0, jnp.float32)
@@ -415,6 +416,7 @@ def sample_ambient(
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
+        dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
     )
 
     if latent_z is None:
@@ -493,6 +495,7 @@ def sample_latent(
         return_dlogp=cfg.return_dlogp,
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
+        dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
     )
 
     key = jax.random.PRNGKey(cfg.seed)
