@@ -201,28 +201,34 @@ def _quad_dlogp_sampler(
     )
 
     @jax.jit
-    def div_batch(xs, conds, t, key):
-        def one(x, cond, k):
-            f = lambda y: v_fn_of(cond)(y, t)
-            if divergence == "exact":
-                return divergence_exact(f, x, chunk=div_chunk)[1]
-            return divergence_hutchinson(f, x, k, num_probes=8)[1]
+    def div_all(xs_grid, conds, ts, key):
+        """(C, P, ...) trajectory grid -> (C, P) divergences. Sequential
+        lax.map over the P nodes (one divergence trace, bounded memory),
+        vmapped over chains."""
 
-        keys = jax.random.split(key, xs.shape[0])
-        return jax.vmap(one)(xs, conds, keys)
+        def one_chain(xs_p, cond, k):
+            def node(args):
+                x, t, i = args
+                f = lambda y: v_fn_of(cond)(y, t)
+                if divergence == "exact":
+                    return divergence_exact(f, x, chunk=div_chunk)[1]
+                return divergence_hutchinson(
+                    f, x, jax.random.fold_in(k, i), num_probes=8
+                )[1]
+
+            return jax.lax.map(node, (xs_p, ts, jnp.arange(xs_p.shape[0])))
+
+        keys = jax.random.split(key, xs_grid.shape[0])
+        return jax.vmap(one_chain)(xs_grid, conds, keys)
 
     n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
-    ts = np.linspace(t0, t1, div_points)
+    ts_np = np.linspace(t0, t1, div_points)
 
     def sampler(x0s, conds, key):
         sol = traj_sampler(x0s, conds, key)  # xs (C, div_points, ...)
-        divs = jnp.stack(
-            [
-                div_batch(sol.xs[:, j], conds, jnp.asarray(ts[j], x0s.dtype),
-                          jax.random.fold_in(key, 10_000 + j))
-                for j in range(div_points)
-            ],
-            axis=1,
+        divs = div_all(
+            sol.xs, conds, jnp.asarray(ts_np, x0s.dtype),
+            jax.random.fold_in(key, 10_000),
         )  # (C, div_points)
         h = (t1 - t0) / m
         pair = (h / 3.0) * (divs[:, :-2:2] + 4.0 * divs[:, 1:-1:2] + divs[:, 2::2])

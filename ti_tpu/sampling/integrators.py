@@ -440,11 +440,14 @@ def sample_ode_quad_dlogp(
     )
     d = int(jnp.size(x0))
 
-    def div_at(x, t, i):
+    def div_at(args):
+        x, t, i = args
         y = jnp.concatenate([jnp.reshape(x, (d,)), jnp.zeros((1,), x.dtype)])
         return -rhs(y, t, i)[d]  # rhs carries -div in the last slot
 
-    divs = jax.vmap(div_at)(sol.xs, ts, jnp.arange(div_points))
+    # sequential over grid nodes (lax.map): bounds memory under chain-vmap
+    # and compiles like a scan body (one divergence trace)
+    divs = jax.lax.map(div_at, (sol.xs, ts, jnp.arange(div_points)))
 
     # cumulative composite Simpson of -div over pairs of intervals
     h = (t1 - t0) / m
