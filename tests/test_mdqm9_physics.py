@@ -1,0 +1,123 @@
+"""MDQM9-ambient end-to-end physics oracle (molecular analog of
+test_adw_physics).
+
+The synthetic frames are COM-centered isotropic Gaussians around the
+equilibrium geometry with sigma_T = 0.05 sqrt(T/300)
+(data.mdqm9.make_synthetic_frames) — i.e. exact Boltzmann samples of the
+harmonic potential u_T(x) = |x - mean(x)|^2 / (2 sigma_T^2) restricted to
+the zero-COM subspace. For this family everything is closed-form:
+
+- partition function Z_T ∝ sigma_T^{3(N-1)} (3(N-1) free dims after COM),
+  so dF(T0→T1) = -3(N-1) ln(sigma_T1 / sigma_T0);
+- cPaiNN is translation invariant, so the Jacobian annihilates the COM
+  directions and the full-space divergence equals the subspace divergence —
+  the dlogp computed by the sampler is exactly the subspace one.
+
+Train the real ambient stack on two temperatures, transport 500K→400K with
+dlogp, and demand the TFEP estimate match the closed form. This validates
+the GNN, the temperature conditioning, the loss, the sampler and the dlogp
+conventions jointly. Marked slow (~3-5 min CPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ti_tpu.analysis.free_energy import calc_phis_tfep, calc_tfep_dF
+from ti_tpu.analysis.weights import calc_ess
+from ti_tpu.config import MDQM9Config
+from ti_tpu.data.mdqm9 import MDQM9AmbientDataset, make_synthetic_frames, make_synthetic_molecule
+from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+from ti_tpu.train.ambient import train_ambient
+
+T0, T1 = 500, 400
+N_ATOMS = 5
+
+
+def _sigma(T):
+    return 0.05 * np.sqrt(T / 300.0)
+
+
+def _centered_equilibrium(mol):
+    p = mol.positions - mol.positions.mean(axis=0, keepdims=True)
+    return p.astype(np.float32)
+
+
+def _reduced_energy(x, T, p_eq):
+    """u_T = |center(x) - p_eq|^2 / (2 sigma_T^2) — the exact (COM-projected)
+    harmonic energy of the synthetic frames (pos + T-scaled jitter)."""
+    xc = x - x.mean(axis=-2, keepdims=True)
+    return np.sum((xc - p_eq) ** 2, axis=(-2, -1)) / (2.0 * _sigma(T) ** 2)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mdqm9_physics")
+    mol = make_synthetic_molecule(n_atoms=N_ATOMS, seed=0)
+    n_frames = 1024
+    frames = {T: make_synthetic_frames(mol, n_frames, T, seed=T) for T in (T0, T1)}
+    stack = np.concatenate([frames[T0], frames[T1]])
+    temps = np.concatenate([np.full(n_frames, float(T0)), np.full(n_frames, float(T1))])
+
+    cfg = MDQM9Config(
+        n_features=16, score_layers=2, batch_size=64, n_epochs=100,
+        learning_rate=2e-3, gamma="sin2", scale_trajs=False,
+        T0s=[T0, T1], T1s=[T0, T1],
+        model_save_path=str(tmp / "models"), data_save_path=str(tmp / "out"),
+    )
+    result = train_ambient(
+        cfg,
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+    )
+    # fresh exact samples at T0 for transport
+    x0 = make_synthetic_frames(mol, 512, T0, seed=999)
+    return cfg, result, x0, _centered_equilibrium(mol)
+
+
+@pytest.fixture(scope="module")
+def transported(trained):
+    cfg, result, x0, p_eq = trained
+    sampler = make_ode_sampler(
+        molecular_v_fn_of(result["model"], result["params"], result["template"]),
+        solver="rk4", n_steps=64, n_save=2, return_dlogp=True, divergence="exact",
+    )
+    temps = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
+    sol = sampler(jnp.asarray(x0), temps, jax.random.PRNGKey(0))
+    return x0, np.asarray(sol.xs[:, -1]), np.asarray(sol.dlogp[:, -1]), p_eq
+
+
+@pytest.mark.slow
+def test_transported_width_matches_target(transported):
+    x0, x1, _, p_eq = transported
+    x1c = x1 - x1.mean(axis=1, keepdims=True)
+    # fluctuation around the equilibrium geometry on the COM subspace:
+    # E|P z|^2 = 3(N-1) sigma^2
+    est_var = np.sum((x1c - p_eq) ** 2, axis=(1, 2)).mean() / (3 * (N_ATOMS - 1))
+    assert np.sqrt(est_var) == pytest.approx(_sigma(T1), rel=0.1)
+
+
+@pytest.mark.slow
+def test_tfep_matches_closed_form(transported):
+    x0, x1, dlogp, p_eq = transported
+    e0 = _reduced_energy(x0, T0, p_eq)
+    e1 = _reduced_energy(x1, T1, p_eq)
+    phis, _ = calc_phis_tfep(e0, e1, -dlogp)  # neg_dlogps_ti = -dlogp
+    dF_est = calc_tfep_dF(phis)
+    dF_exact = -3 * (N_ATOMS - 1) * np.log(_sigma(T1) / _sigma(T0))
+    assert dF_est == pytest.approx(dF_exact, abs=0.15), (dF_est, dF_exact)
+    # reasonable ESS for the transport
+    w = np.exp(-phis + phis.min())
+    assert calc_ess(w / w.max()) > 0.1 * len(x0)
+
+
+@pytest.mark.slow
+def test_dlogp_mean_matches_volume_change(transported):
+    """For near-optimal transport between the two Gaussians the average
+    log-density change is dominated by the volume factor
+    3(N-1) ln(sigma_T0/sigma_T1)."""
+    _, _, dlogp, _ = transported
+    expected = 3 * (N_ATOMS - 1) * np.log(_sigma(T0) / _sigma(T1))
+    assert np.mean(dlogp) == pytest.approx(expected, rel=0.1)

@@ -257,12 +257,15 @@ def make_synthetic_molecule(n_atoms: int = 19, seed: int = 0) -> Molecule:
 
 
 def make_synthetic_frames(
-    mol: Molecule, n_frames: int, temperature: float, seed: int = 0
+    mol: Molecule, n_frames: int, temperature: float, seed: int = 0,
+    jitter: float = 0.05,
 ) -> np.ndarray:
-    """Pseudo-MD frames: equilibrium geometry + T-scaled Gaussian jitter,
-    COM-centered. Good enough to exercise training/sampling end-to-end."""
+    """Pseudo-MD frames: equilibrium geometry + T-scaled Gaussian jitter
+    (sigma = jitter * sqrt(T/300)), COM-centered. Exact Boltzmann samples of
+    an isotropic harmonic well — the molecular physics-oracle tests rely on
+    this closed form."""
     rng = np.random.default_rng(seed)
-    sigma = 0.05 * np.sqrt(temperature / 300.0)
+    sigma = jitter * np.sqrt(temperature / 300.0)
     frames = mol.positions[None] + sigma * rng.standard_normal((n_frames, mol.n_atoms, 3))
     frames = frames - frames.mean(axis=1, keepdims=True)
     return frames.astype(np.float32)
