@@ -45,3 +45,49 @@ def test_pallas_kernel_interpret_matches(setup):
     out = fused_edge_mlp(in_feat, pe, phi, w, tile=32, interpret=True)
     assert out.shape == (R, 5 * F)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_interpret_matches(setup):
+    from ti_tpu.ops.pallas_kernels import fused_mlp
+
+    in_feat, pe, phi, w, _ = setup
+    phi_mod = MLP(F, 5 * F)
+    # rebuild flax output for the single-MLP case
+    params = {"params": {
+        "Dense_0": {"kernel": phi.w1, "bias": phi.b1},
+        "LayerNorm_0": {"scale": phi.ln1_scale, "bias": phi.ln1_bias},
+        "Dense_1": {"kernel": phi.w2, "bias": phi.b2},
+        "LayerNorm_1": {"scale": phi.ln2_scale, "bias": phi.ln2_bias},
+        "Dense_2": {"kernel": phi.w3, "bias": phi.b3},
+    }}
+    expected = phi_mod.apply(params, in_feat)
+    out = fused_mlp(in_feat, phi, tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_forward_matches_model_apply():
+    """apply_fused == vmap(model.apply) on the same parameter tree."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN, MolGraph
+    from ti_tpu.models.cpainn_fused import apply_fused
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (3, 6, 3))
+    ts = jnp.array([0.2, 0.5, 0.9])
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+
+    ref = jax.vmap(
+        lambda x, t, tp: model.apply(
+            params, MolGraph(x, template.atom_ids, t, tp, template.edges)
+        )
+    )(xs, ts, temps)
+    out = apply_fused(
+        model, params, xs, ts, temps, template.atom_ids, template.edges,
+        interpret=True, tile=32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)

@@ -124,3 +124,43 @@ def fused_edge_mlp(
         interpret=interpret,
     )(in_feat, pe, *phi2, *w2)
     return out[:r]
+
+
+def _single_mlp_kernel(x_ref, *refs):
+    w_vals = MLPWeights(*(r[:] for r in refs[:10]))
+    out_ref = refs[10]
+    out_ref[:] = _mlp_block(x_ref[:], w_vals)
+
+
+def fused_mlp(
+    x: Array,
+    w: MLPWeights,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Single reference-style MLP (Dense-LN-SiLU x2 -> Dense) with all
+    intermediates in VMEM. x: (R, f_in) -> (R, f_out). Inference-only."""
+    r = x.shape[0]
+    f_out = w.w3.shape[1]
+    r_pad = -(-r // tile) * tile
+    if r_pad != r:
+        x = jnp.pad(x, ((0, r_pad - r), (0, 0)))
+
+    def as2d(a):
+        return a[None, :] if a.ndim == 1 else a
+
+    w2 = MLPWeights(*(as2d(a) for a in w))
+    grid = (r_pad // tile,)
+    row_spec = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _single_mlp_kernel,
+        grid=grid,
+        in_specs=[row_spec(x.shape[1])] + [full_spec(t.shape) for t in w2],
+        out_specs=row_spec(f_out),
+        out_shape=jax.ShapeDtypeStruct((r_pad, f_out), x.dtype),
+        interpret=interpret,
+    )(x, *w2)
+    return out[:r]
