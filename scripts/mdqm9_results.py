@@ -53,10 +53,12 @@ if __name__ == "__main__":
 
     report = generate_report(
         adjacency, final,
-        neg_dlogps_ti=-dlogps,  # analysis-layer sign convention
+        # the saved dlogps array IS the analysis layer's neg_dlogps — the
+        # reference loads it unmodified (results_00031.py:180-190)
+        neg_dlogps_ti=dlogps,
         E0s=E0s, E1s=E1s,
         latent_z=latent_z,
-        neg_dlogps_bg=-latent_dlogps if latent_dlogps is not None else None,
+        neg_dlogps_bg=latent_dlogps,
         k=args.k, n_bootstrap=args.n_bootstrap,
         save_path=args.out, tag=args.tag,
     )

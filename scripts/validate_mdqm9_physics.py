@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Molecular end-to-end physics validation against closed-form oracles.
+
+Synthetic frames are exact Boltzmann samples of an isotropic harmonic well
+(sigma_T = jitter*sqrt(T/300), COM-centered), so the TFEP free-energy
+difference and the mean dlogp are closed-form (see
+tests/test_mdqm9_physics.py). This script trains the REAL ambient stack at
+production-like capacity (fast on TPU) and prints the oracle comparison as
+one JSON line; the pytest variant runs a CPU-sized version of the same
+check.
+
+Usage: python scripts/validate_mdqm9_physics.py [--epochs 300] [--features 64]
+"""
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=2048)
+    ap.add_argument("--atoms", type=int, default=4)
+    ap.add_argument("--jitter", type=float, default=0.4)
+    ap.add_argument("--T0", type=int, default=1000)
+    ap.add_argument("--T1", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--gamma", default="brownian")
+    ap.add_argument("--a", type=float, default=0.1)
+    ap.add_argument("--single_direction", action="store_true",
+                    help="train only T0->T1 pairs (conditioning ablation)")
+    ap.add_argument("--temp_length", type=float, default=100.0,
+                    help="temperature positional-encoding length scale; the "
+                         "production value 100 is tuned for F=128 — smaller "
+                         "models need a shorter scale for usable T contrast")
+    ap.add_argument("--out_dir", default="/tmp/mdqm9_physics")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.data.mdqm9 import MDQM9AmbientDataset, make_synthetic_frames, make_synthetic_molecule
+    from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+    from ti_tpu.train.ambient import train_ambient
+
+    T0, T1, N = args.T0, args.T1, args.atoms
+
+    def sigma(T):
+        return args.jitter * np.sqrt(T / 300.0)
+
+    mol = make_synthetic_molecule(n_atoms=N, seed=0)
+    frames = {
+        T: make_synthetic_frames(mol, args.frames, T, seed=T, jitter=args.jitter)
+        for T in (T0, T1)
+    }
+    stack = np.concatenate([frames[T0], frames[T1]])
+    temps = np.concatenate(
+        [np.full(args.frames, float(T0)), np.full(args.frames, float(T1))]
+    )
+
+    t0_list = [T0] if args.single_direction else [T0, T1]
+    t1_list = [T1] if args.single_direction else [T0, T1]
+    cfg = MDQM9Config(
+        n_features=args.features, score_layers=args.layers, batch_size=args.batch,
+        n_epochs=args.epochs, learning_rate=args.lr, gamma=args.gamma, a=args.a,
+        temp_length=args.temp_length,
+        scale_trajs=False, T0s=t0_list, T1s=t1_list,
+        model_save_path=f"{args.out_dir}/models", data_save_path=f"{args.out_dir}/out",
+        use_wandb=False,
+    )
+    ds0 = MDQM9AmbientDataset.from_arrays(frames[T0], np.full(args.frames, float(T0)), mol)         if args.single_direction else MDQM9AmbientDataset.from_arrays(stack, temps, mol)
+    ds1 = MDQM9AmbientDataset.from_arrays(frames[T1], np.full(args.frames, float(T1)), mol)         if args.single_direction else MDQM9AmbientDataset.from_arrays(stack, temps, mol)
+    res = train_ambient(cfg, ds0, ds1)
+    print("final train losses:", [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
+          file=sys.stderr)
+
+    x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
+    sampler = make_ode_sampler(
+        molecular_v_fn_of(res["model"], res["params"], res["template"]),
+        solver="rk4", n_steps=64, n_save=2, return_dlogp=True, divergence="exact",
+        steps_per_dispatch=16,
+    )
+    temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
+    sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
+    x1 = np.asarray(sol.xs[:, -1])
+    dlogp = np.asarray(sol.dlogp[:, -1])
+
+    p_eq = (mol.positions - mol.positions.mean(0)).astype(np.float32)
+    x1c = x1 - x1.mean(1, keepdims=True)
+    width = float(np.sqrt(np.sum((x1c - p_eq) ** 2, axis=(1, 2)).mean() / (3 * (N - 1))))
+
+    e0 = np.sum((x0 - x0.mean(1, keepdims=True) - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T0) ** 2)
+    e1 = np.sum((x1c - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T1) ** 2)
+    phis = e1 - e0 + dlogp  # phi = u1 - u0 + dlogp_saved (reference convention)
+    mx = (-phis).max()
+    dF_est = float(-(mx + np.log(np.mean(np.exp(-phis - mx)))))
+    dF_exact = float(-3 * (N - 1) * np.log(sigma(T1) / sigma(T0)))
+
+    print(json.dumps({
+        "width": width, "width_target": sigma(T1), "width_start": sigma(T0),
+        "dlogp_mean": float(dlogp.mean()),
+        "dlogp_expected": float(3 * (N - 1) * np.log(sigma(T0) / sigma(T1))),
+        "dF_est": dF_est, "dF_exact": dF_exact,
+        "dF_abs_err": abs(dF_est - dF_exact),
+    }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

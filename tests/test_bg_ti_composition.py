@@ -67,7 +67,7 @@ def test_bg_to_ti_composition(tmp_path):
     E1 = np.random.default_rng(0).normal(5.0, 0.2, 16)
     w = calc_importance_weights(
         out["latent_noises"], E1,
-        neg_dlogps_bg=-out["latent_dlogps"], neg_dlogps_ti=-out["dlogps"],
+        neg_dlogps_bg=out["latent_dlogps"], neg_dlogps_ti=out["dlogps"],
     )
     assert np.all(np.isfinite(w)) and np.all(w > 0)
     assert 1.0 <= calc_ess(w) <= 16.0

@@ -140,8 +140,10 @@ def generate_report(
     """Compute every metric the artifacts allow; optionally np.save each
     array like the reference scripts (~40 arrays, results_00031.py:173-343).
 
-    samples: (n, N, 3) FINAL conformations. neg_dlogps_*: negated dlogp
-    conventions as in the reference analysis layer.
+    samples: (n, N, 3) FINAL conformations. neg_dlogps_*: pass the sampler's
+    saved dlogp arrays UNCHANGED — "neg_dlogps" is the reference's name for
+    exactly that quantity (loaded without a sign flip,
+    results_00031.py:180-190).
     """
     out: Dict = {}
     z = gen_z_matrix(adjacency, samples)

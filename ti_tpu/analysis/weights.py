@@ -3,9 +3,9 @@
 Vectorized counterparts of the reference utilities
 (mdqm9/analysis/utils/ess.py, mdqm9/analysis/utils/sensititvity.py,
 adw/analysis/reweight_gedmd.py:61-76). Sign conventions follow the
-reference exactly: ``neg_dlogps`` denotes the NEGATED dlogp returned by the
-samplers (the analysis scripts negate on load, e.g.
-mdqm9/analysis/results_00031.py:179-189).
+reference exactly: ``neg_dlogps`` is the reference's (misleading) name for
+the dlogp arrays the samplers save — the analysis scripts load them
+UNCHANGED (results_00031.py:180-190), and phi = E1 - E0 + dlogp_saved.
 """
 
 from __future__ import annotations

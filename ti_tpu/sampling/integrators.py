@@ -23,9 +23,12 @@ torchdiffeq per-state-tolerance conditioning hack - cancel exactly and are
 dropped; ``sample_ode_dopri5`` instead controls error on the raw joint state.
 
 Sign conventions match the reference ODEWrapper: forward transport
-integrates d(dlogp)/dt = -div b; reverse transport is simply t0=1 -> t1=0
-(negative dt), matching the reference's reverse_ode (-b, +div) convention
-(mdqm9/thermo/ambient/models/ode_wrapper.py:49).
+integrates d(dlogp)/dt = -div b, so the returned dlogp equals
+log q(x_1) - log p_0(x_0) along the transport. NOTE: this saved quantity is
+exactly what the reference analysis layer names ``neg_dlogps`` and consumes
+WITHOUT any sign flip (results_00031.py:180-190; phi = E1 - E0 + dlogp).
+Reverse transport is simply t0=1 -> t1=0 (negative dt), matching the
+reference's reverse_ode (-b, +div) convention (ode_wrapper.py:49).
 """
 
 from __future__ import annotations
