@@ -1,0 +1,145 @@
+"""CLI entry-point smoke tests: the user-facing script surface.
+
+Exercises scripts/ end-to-end via subprocess on synthetic data laid out
+exactly like the reference expects on disk (traj_path/split/<mol>.npy with
+the (8, frames, atoms, 3) temperature axis; mdqm9.sdf with the molecule at
+its file_id index).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def run(args, cwd=REPO, timeout=420):
+    r = subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=ENV, capture_output=True,
+        text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+def _write_sdf(path, mol, index):
+    """SDF with `index+1` records; the target molecule is last (file_id)."""
+    lines = []
+    n, nb = mol.n_atoms, mol.bond_index.shape[1] // 2
+    for rec in range(index + 1):
+        lines.append(f"mol{rec}\n  synthetic\n")
+        lines.append(f"{n:3d}{nb:3d}  0  0  0  0  0  0  0  0999 V2000")
+        for i in range(n):
+            x, y, z = mol.positions[i]
+            sym = {1: "H", 6: "C", 7: "N", 8: "O"}[int(mol.atomic_numbers[i])]
+            lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {sym:<3}0  0  0  0  0  0  0  0  0  0  0  0")
+        seen = set()
+        for s, d, t in zip(*mol.bond_index, mol.bond_types):
+            if (d, s) in seen:
+                continue
+            seen.add((s, d))
+            lines.append(f"{s + 1:3d}{d + 1:3d}{t:3d}  0")
+        lines.append("M  END\n$$$$")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def adw_workspace(tmp_path_factory):
+    from ti_tpu.data.adw import make_synthetic_adw_csv
+
+    tmp = tmp_path_factory.mktemp("cli_adw")
+    make_synthetic_adw_csv(str(tmp / "samples.csv"), betas=[1.0, 1.25], n_samples=3000)
+    return tmp
+
+
+@pytest.mark.slow
+def test_adw_train_sample_reweight_cli(adw_workspace):
+    tmp = adw_workspace
+    common = [
+        "--traj_path", str(tmp), "--model_save_path", str(tmp / "models"),
+        "--data_save_path", str(tmp / "out"), "--n_samples", "2000",
+        "--hidden_size", "16", "--num_layers", "2", "--epochs", "2",
+        "--batch_size", "256", "--n_step", "8", "--solver_type", "rk4",
+        "--sampling_epoch", "1",
+    ]
+    run(["scripts/adw_train.py"] + common)
+    run(["scripts/adw_sample.py"] + common)
+    out_dir = tmp / "out" / "velocity" / "beta_1.0_to_1.25"
+    assert (out_dir / "samples_epoch_1.npy").exists()
+    assert (out_dir / "dlogps_epoch_1.npy").exists()
+    # samples saved by the fixed-step path are (n_save, n); the reweighting
+    # CLI consumes exactly these artifacts
+    r = run([
+        "scripts/adw_reweight_gedmd.py", "--data_dir", str(tmp / "out" / "velocity"),
+        "--epoch", "1", "--betas", "1.25", "--n_bootstrap", "20",
+        "--p", "20", "--out", str(tmp / "gedmd.npz"),
+    ])
+    assert "lambda_2" in r.stdout
+    assert (tmp / "gedmd.npz").exists()
+
+
+@pytest.fixture(scope="module")
+def mdqm9_workspace(tmp_path_factory):
+    from ti_tpu.data.mdqm9 import make_synthetic_frames, make_synthetic_molecule
+
+    tmp = tmp_path_factory.mktemp("cli_mdqm9")
+    mol = make_synthetic_molecule(n_atoms=5, seed=0)
+    mol_index = 31
+    for split in ("train", "test"):
+        os.makedirs(tmp / "trajs" / split, exist_ok=True)
+        all_T = np.stack(
+            [make_synthetic_frames(mol, 24, T, seed=T, jitter=0.3) for T in range(300, 1001, 100)]
+        )
+        np.save(tmp / "trajs" / split / "00031.npy", all_T)
+    _write_sdf(tmp / "mdqm9.sdf", mol, mol_index)
+    return tmp
+
+
+@pytest.mark.slow
+def test_mdqm9_train_sample_results_cli(mdqm9_workspace):
+    tmp = mdqm9_workspace
+    common = [
+        "--traj_path", str(tmp / "trajs"), "--sdf_path", str(tmp),
+        "--model_save_path", str(tmp / "models"),
+        "--data_save_path", str(tmp / "out"),
+        "--n_features", "8", "--score_layers", "1", "--batch_size", "8",
+        "--n_epochs", "1", "--n_steps", "4", "--solver_type", "rk4",
+        "--model_epoch", "0", "--model_save_name", "smoke",
+        "--data_save_name", "smoke",
+    ]
+    run(["scripts/mdqm9_train_ambient.py", "--preset", "00031:300"] + common)
+    run(["scripts/mdqm9_sample_ambient.py", "--preset", "00031:300"] + common)
+    assert (tmp / "out" / "samples_smoke.npy").exists()
+    assert (tmp / "out" / "dlogps_smoke.npy").exists()
+
+    r = run([
+        "scripts/mdqm9_results.py", "--sdf", str(tmp / "mdqm9.sdf"),
+        "--mol_index", "31", "--data_dir", str(tmp / "out"), "--tag", "smoke",
+        "--n_bootstrap", "10", "--out", str(tmp / "results"),
+    ])
+    assert (tmp / "results" / "torsions_smoke.npy").exists()
+
+
+@pytest.mark.slow
+def test_mdqm9_latent_cli(mdqm9_workspace):
+    tmp = mdqm9_workspace
+    common = [
+        "--traj_path", str(tmp / "trajs"), "--sdf_path", str(tmp),
+        "--model_save_path", str(tmp / "models"),
+        "--data_save_path", str(tmp / "outl"),
+        "--n_features", "8", "--score_layers", "1", "--batch_size", "8",
+        "--n_epochs", "1", "--n_steps", "4", "--solver_type", "rk4",
+        "--model_epoch", "0", "--model_save_name", "smokel",
+        "--data_save_name", "smokel", "--n_latent_samples", "16",
+        "--sampling_T", "800",
+    ]
+    run(["scripts/mdqm9_train_latent.py", "--preset", "00031:800"] + common)
+    run(["scripts/mdqm9_sample_latent.py", "--preset", "00031:800"] + common)
+    assert (tmp / "outl" / "samples_smokel_forward.npy").exists()
