@@ -91,3 +91,46 @@ def test_fused_forward_matches_model_apply():
         interpret=True, tile=32,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+
+def test_dense_forward_matches_model_apply():
+    """Dense (N x N) pair formulation == vmap(model.apply), and its exact
+    divergence matches too (it must serve the dlogp path)."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN, MolGraph
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (3, 6, 3))
+    ts = jnp.array([0.2, 0.5, 0.9])
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+
+    ref = jax.vmap(
+        lambda x, t, tp: model.apply(
+            params, MolGraph(x, template.atom_ids, t, tp, template.edges)
+        )
+    )(xs, ts, temps)
+    out = apply_dense(model, params, xs, ts, temps, template.atom_ids, template.edges)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    # divergence parity (dense path is differentiable)
+    def v_edge(x):
+        return model.apply(
+            params, MolGraph(x, template.atom_ids, jnp.array(0.5), temps[0], template.edges)
+        )
+
+    def v_dense(x):
+        return apply_dense(
+            model, params, x[None], jnp.array([0.5]), temps[:1],
+            template.atom_ids, template.edges,
+        )[0]
+
+    _, d1 = divergence_exact(v_edge, xs[0])
+    _, d2 = divergence_exact(v_dense, xs[0])
+    np.testing.assert_allclose(float(d2), float(d1), rtol=1e-3)

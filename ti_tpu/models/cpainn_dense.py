@@ -1,0 +1,130 @@
+"""Dense (N×N) pair formulation of the cPaiNN forward — gather-free.
+
+Mathematically identical to CPaiNN.__call__ on the complete graph, but the
+edge list is replaced by the full (dst=i, src=j) pair grid:
+
+- gathers (``s[src]``, ``v[src]``, ``v[dst]``) become broadcasts;
+- the three (E, F, 3) message tensors become masked einsum CONTRACTIONS:
+    dv_gates[i]  = Σ_j gates[i,j,f] · v[j,f,:]        (batched matmul)
+    dv_dir[i]    = Σ_j scale[i,j,f] · dir[i,j,:]
+    dv_cross[i]  = (Σ_j cg[i,j,f] · dir[i,j,:]) × v[i,f,:]
+  — the cross term collapses to ONE contraction because the reference
+  contracts the edge direction with the DST node's equivariant features
+  (cpainn.py:299-301), which are constant over j;
+- the diagonal (i == j) is masked out of every aggregation, replacing the
+  "all pairs except self" edge table.
+
+Pure XLA and differentiable — unlike the Pallas fused path this also serves
+the divergence/dlogp tangent computations. Consumes the SAME flax parameter
+tree as CPaiNN; parity is asserted in tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ti_tpu.models.cpainn import CPaiNN, MolGraph
+from ti_tpu.models.embeddings import positional_encoding, temperature_encoding
+from ti_tpu.ops.graph import EdgeTable
+from ti_tpu.ops.pallas_kernels import MLPWeights, _mlp_block, mlp_weights_from_flax
+
+Array = jax.Array
+
+
+def dense_edge_type_matrix(edges: EdgeTable) -> np.ndarray:
+    """(N, N) int32 with [dst, src] = edge type (diagonal 0, unused)."""
+    n = edges.n_nodes
+    mat = np.zeros((n, n), dtype=np.int32)
+    mat[np.asarray(edges.dst), np.asarray(edges.src)] = np.asarray(edges.edge_type)
+    return mat
+
+
+def apply_dense(
+    model: CPaiNN,
+    params,
+    x: Array,  # (B, N, 3)
+    t: Array,  # (B,)
+    temps: Array,  # (B, K)
+    atom_ids: Array,  # (N,)
+    edges: EdgeTable,
+) -> Array:
+    """Batched velocity field, dense-pair layout: (B, N, 3) -> (B, N, 3)."""
+    p = params["params"]
+    f = model.n_features
+    b, n, _ = x.shape
+
+    def mlp(rows, subtree):
+        return _mlp_block(rows, mlp_weights_from_flax(subtree))
+
+    # pair grid: i = dst, j = src; r[i, j] = x[j] - x[i]
+    r = x[:, None, :, :] - x[:, :, None, :]  # (B, N(dst), N(src), 3)
+    dist = jnp.linalg.norm(r + jnp.eye(n)[None, :, :, None], axis=-1)  # keep diag finite
+    dist = dist * (1.0 - jnp.eye(n))[None]
+    direc = r / (1.0 + dist[..., None])
+    mask = (1.0 - jnp.eye(n, dtype=x.dtype))[None, :, :, None]  # (1, N, N, 1)
+
+    etype = jnp.asarray(dense_edge_type_matrix(edges))
+    e = jnp.broadcast_to(p["edge_embed"]["embedding"][etype], (b, n, n, f))
+
+    feats = [jnp.broadcast_to(p["atom_embed"]["embedding"][atom_ids], (b, n, f))]
+    if model.conditioning == "ambient":
+        for i in range(2):
+            enc = temperature_encoding(temps[:, i], f, model.temp_length, model.temperatures)
+            feats.append(jnp.broadcast_to(enc[:, None, :], (b, n, f)))
+    elif model.conditioning == "latent":
+        enc = temperature_encoding(temps[:, 0], f, model.temp_length, model.temperatures)
+        feats.append(jnp.broadcast_to(enc[:, None, :], (b, n, f)))
+    t_enc = positional_encoding(t, f, model.time_length)
+    feats.append(jnp.broadcast_to(t_enc[:, None, :], (b, n, f)))
+
+    s = mlp(jnp.concatenate(feats, axis=-1), p["combine"])  # (B, N, F)
+    v = jnp.zeros((b, n, f, 3), dtype=x.dtype)
+
+    pe = positional_encoding(dist, f, model.length_scale)  # (B, N, N, F)
+
+    for layer in range(model.score_layers):
+        mp = p[f"message_{layer}"]
+        # in_features[i, j] = [s[j], e[i, j]]
+        s_src = jnp.broadcast_to(s[:, None, :, :], (b, n, n, f))
+        in_feats = jnp.concatenate([s_src, e], axis=-1)
+        h = mlp(in_feats, mp["phi"]) * mlp(pe, mp["w"])  # (B, N, N, 5F)
+        gates, scale_dir, ds, de, cg = jnp.split(h * mask, 5, axis=-1)
+
+        dv = (
+            jnp.einsum("bijf,bjfc->bifc", gates, v)
+            + jnp.einsum("bijf,bijc->bifc", scale_dir, direc)
+            + jnp.cross(jnp.einsum("bijf,bijc->bifc", cg, direc), v)
+        )
+        s = s + jnp.sum(ds, axis=2)
+        v = v + dv
+        # de is diagonal-masked; off-diagonal (real-edge) updates are exact
+        # and the diagonal entries are never consumed (their h rows are
+        # masked every layer)
+        e = e + de
+
+        up = p[f"update_{layer}"]
+        uv = jnp.einsum("bnfc,fg->bngc", v, up["u"]["kernel"])
+        vv = jnp.einsum("bnfc,fg->bngc", v, up["v"]["kernel"])
+        vv_norm = jnp.linalg.norm(vv, axis=-1)
+        hu = mlp(jnp.concatenate([vv_norm, s], axis=-1), up["mlp"])
+        g_u, scale_sq, add_inv = jnp.split(hu, 3, axis=-1)
+        v = v + g_u[..., None] * uv
+        s = s + vv_norm**2 * scale_sq + add_inv
+
+    ro = p["readout"]
+    hr = mlp(s, ro["mlp"])  # (B, N, 2)
+    v_out = jnp.einsum("bnfc,fg->bngc", v, ro["V"]["kernel"])
+    return hr[..., 1:2, None][:, :, 0] * v_out[:, :, 0, :]
+
+
+def dense_velocity_fn(model: CPaiNN, params, template: MolGraph):
+    """Batched drift (xs (B,N,3), t scalar-or-(B,), temps (B,K)) -> (B,N,3)."""
+
+    def drift(xs, t, temps):
+        tb = jnp.broadcast_to(jnp.asarray(t), (xs.shape[0],))
+        return apply_dense(model, params, xs, tb, temps, template.atom_ids, template.edges)
+
+    return drift
