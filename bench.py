@@ -45,7 +45,10 @@ def main(quick: bool = False):
     model = CPaiNN(n_features=128, score_layers=5, temp_length=100.0, conditioning="ambient")
     params = model.init(jax.random.PRNGKey(0), template)
 
-    v_fn_of = molecular_v_fn_of(model, params, template)
+    v_fn_of = molecular_v_fn_of(model, params, template)  # dense-pair impl
+    # reference-shape denominator keeps the reference's per-edge
+    # gather/scatter formulation (impl="edge")
+    v_fn_of_edge = molecular_v_fn_of(model, params, template, impl="edge")
     key = jax.random.PRNGKey(1)
 
     def make_batch(c):
@@ -93,7 +96,7 @@ def main(quick: bool = False):
     REF_NFE = 500
     probe_evals = 16 if quick else 64
     ref_probe = make_ode_sampler(
-        v_fn_of, solver="euler", n_steps=probe_evals, n_save=2,
+        v_fn_of_edge, solver="euler", n_steps=probe_evals, n_save=2,
         return_dlogp=True, divergence="exact", steps_per_dispatch=64,
     )
     probe_rate, _ = timed(ref_probe, 12, 1)  # samples/s at probe_evals evals
