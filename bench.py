@@ -5,10 +5,12 @@ reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
 dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 (19 atoms, cPaiNN F=128 x 5 layers).
 
-value        = TPU-first path: fixed-step RK4(100) trajectory + the
-               quadrature-decoupled exact dlogp (Simpson over 21 divergence
-               nodes; accuracy vs the stage-coupled dlogp quantified in
-               tests/test_adw_physics.py), vmapped over a chain batch.
+value        = TPU-first path: fixed-step RK4(~100) trajectory + the
+               quadrature-decoupled exact dlogp (Gauss-Legendre over 10
+               divergence nodes; accuracy vs the stage-coupled dlogp
+               quantified in tests/test_adw_physics.py — GL-10 sits at the
+               same trajectory-limited error floor as Simpson-21/33),
+               vmapped over a chain batch.
 vs_baseline  = value / (reference-algorithm shape on the SAME chip):
                adaptive dopri5 at atol=rtol=1e-5 (the reference's solver
                settings, 00031_settings_no_300.json:34-36) at the
@@ -58,13 +60,17 @@ def main(quick: bool = False):
         return x0, temps
 
     def timed(sampler, c, n_rep):
+        # NOTE: under the axon tunnel, block_until_ready can ack enqueue
+        # rather than completion — a host transfer is the only reliable
+        # fence, so each measurement ends with a scalar readback (~30 ms,
+        # negligible vs the multi-second workloads here).
         x0, temps = make_batch(c)
         sol = sampler(x0, temps, key)  # compile + warmup
-        jax.block_until_ready(sol.xs)
+        float(jnp.sum(sol.xs))
         t0 = time.perf_counter()
         for i in range(n_rep):
             sol = sampler(x0, temps, jax.random.fold_in(key, i))
-        jax.block_until_ready(sol.xs)
+        float(jnp.sum(sol.xs))
         dt = time.perf_counter() - t0
         return c * n_rep / dt, int(np.max(np.asarray(sol.nfe)))
 
@@ -79,7 +85,7 @@ def main(quick: bool = False):
     opt_sampler = make_ode_sampler(
         v_fn_of, solver="rk4", n_steps=20 if quick else 100, n_save=2,
         return_dlogp=True, divergence="exact", steps_per_dispatch=25,
-        dlogp_quad_points=5 if quick else 21, div_chunk=16,
+        dlogp_quad_points=4 if quick else 10, dlogp_quad="gauss",
     )
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
     print(f"[bench] optimized rk4+quad-dlogp: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
@@ -120,13 +126,13 @@ def main(quick: bool = False):
             model, params, template, x0, temps, key, g_fn=0.1,
             n_steps=25 if quick else 100,
         )
-        jax.block_until_ready(out)
+        float(jnp.sum(out))
         t0 = time.perf_counter()
         out = sample_molecular_sde(
             model, params, template, x0, temps, jax.random.fold_in(key, 9),
             g_fn=0.1, n_steps=25 if quick else 100,
         )
-        jax.block_until_ready(out)
+        float(jnp.sum(out))
         sde_rate = c_sde / (time.perf_counter() - t0)
         print(f"[bench] SDE (no dlogp): {sde_rate:.1f} samples/s", file=sys.stderr)
     except Exception as e:  # pragma: no cover

@@ -1,14 +1,16 @@
 """Microbenchmark: where does the divergence-node time go on the TPU?
 
 Times, for the dense-pair cPaiNN at the bench config (19 atoms, F=128 x 5):
-  1. primal forward (batched over chains)
-  2. one exact-divergence node via linearize + vmapped tangent basis
-     (the current production path, per-chain vmap)
-  3. the velocity-only RK4 trajectory cost per sample
+  1. primal forward (batched over chains), unfused vs Pallas-fused
+  2. one exact-divergence node (linearize + vmapped tangent basis),
+     unfused vs fused custom-JVP tangent kernels
+  3. implied full-bench cost
 
-This bounds what a fused Pallas tangent kernel can buy: if (2) is close to
-57x the tangent-FLOP cost of (1), we are compute-bound and fusion buys
-little; if it is many times that, we are HBM-bound on tangent intermediates.
+Timing method: the axon tunnel's ``block_until_ready`` is unreliable
+(enqueue-ack rather than completion in some paths) and a host read costs
+~30 ms round trip. So every measurement wraps ``reps`` evaluations in a
+device-side ``lax.scan`` with a scalar accumulator and is forced by ONE
+scalar host read; the measured round-trip latency is subtracted.
 """
 
 from __future__ import annotations
@@ -28,14 +30,37 @@ from ti_tpu.ops.divergence import divergence_exact
 from ti_tpu.sampling.drivers import molecular_v_fn_of
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def measure_latency() -> float:
+    g = jax.jit(lambda x: x + 1.0)
+    a = jnp.zeros((8, 8))
+    float(jnp.sum(g(a)))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    for _ in range(5):
+        float(jnp.sum(g(a)))
+    return (time.perf_counter() - t0) / 5
+
+
+LAT = None
+
+
+def timed(fn, x, reps=8):
+    """fn(x, i) -> array; returns secs/rep via device-side scan + one read."""
+    global LAT
+    if LAT is None:
+        LAT = measure_latency()
+
+    @jax.jit
+    def loop(x0):
+        def body(acc, i):
+            return acc + jnp.sum(fn(x0, i)), None
+
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(reps))
+        return acc
+
+    float(loop(x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(x))
+    return (time.perf_counter() - t0 - LAT) / reps
 
 
 def main():
@@ -51,54 +76,47 @@ def main():
     temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (chains, 1))
     t = jnp.full((chains,), 0.5, jnp.float32)
 
-    # 1. primal forward, batched
-    fwd = jax.jit(
-        lambda xx: apply_dense(model, params, xx, t, temps, template.atom_ids, template.edges)
-    )
-    t_fwd = timed(fwd, x)
-    print(f"primal fwd   batch={chains}: {t_fwd*1e3:8.2f} ms  ({t_fwd/chains*1e6:7.1f} us/chain)")
+    print(f"round-trip latency: {measure_latency()*1e3:.1f} ms")
 
-    # 2. one divergence node (current path): vmap over chains of
-    #    linearize + 57 tangent lanes
-    v_fn_of = molecular_v_fn_of(model, params, template)
+    def fwd(fused):
+        def f(xx, i):
+            return apply_dense(
+                model, params, xx + 1e-3 * i, t, temps,
+                template.atom_ids, template.edges, fused=fused,
+            )
+        return f
 
-    def div_node(xc, tempc):
-        f = v_fn_of(tempc)
-        return divergence_exact(lambda xx: f(xx, 0.5), xc, chunk=16)[1]
+    t_fwd = timed(fwd(False), x)
+    print(f"primal fwd    batch={chains}: {t_fwd*1e3:8.2f} ms  ({t_fwd/chains*1e6:7.1f} us/chain)")
+    t_fwd_fused = timed(fwd(True), x)
+    print(f"primal fused  batch={chains}: {t_fwd_fused*1e3:8.2f} ms  ({t_fwd/t_fwd_fused:.2f}x vs unfused)")
 
-    div_b = jax.jit(jax.vmap(div_node))
-    t_div = timed(div_b, x, temps)
-    d = 3 * n_atoms
+    def div(impl, chunk):
+        v_fn_of = molecular_v_fn_of(model, params, template, impl=impl)
+
+        def f(xx, i):
+            def one(xc, tempc):
+                g = v_fn_of(tempc)
+                return divergence_exact(lambda y: g(y, 0.5), xc + 1e-3 * i, chunk=chunk)[1]
+
+            return jax.vmap(one)(xx, temps)
+
+        return f
+
+    t_div = timed(div("dense", 16), x, reps=4)
+    print(f"div chunk16   batch={chains}: {t_div*1e3:8.2f} ms  (= {t_div/t_fwd:6.1f}x primal)")
+    t_div_nc = timed(div("dense", None), x, reps=4)
+    print(f"div nochunk   batch={chains}: {t_div_nc*1e3:8.2f} ms")
+    t_div_f = timed(div("dense_fused", None), x, reps=4)
+    print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
+
+    best_div = min(t_div, t_div_nc, t_div_f)
+    best_fwd = min(t_fwd, t_fwd_fused)
+    full_cost = 400 * best_fwd / chains + 21 * best_div / chains
     print(
-        f"div node     batch={chains}: {t_div*1e3:8.2f} ms  "
-        f"(= {t_div/t_fwd:6.1f}x primal; ideal-tangent ~{d}x primal-ish)"
-    )
-    # no-chunk variant
-    def div_node_nc(xc, tempc):
-        f = v_fn_of(tempc)
-        return divergence_exact(lambda xx: f(xx, 0.5), xc, chunk=None)[1]
-
-    t_div_nc = timed(jax.jit(jax.vmap(div_node_nc)), x, temps)
-    print(f"div nochunk  batch={chains}: {t_div_nc*1e3:8.2f} ms")
-
-    # 3. bf16 primal
-    params_bf16 = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
-    )
-    fwd_bf = jax.jit(
-        lambda xx: apply_dense(
-            model, params_bf16, xx.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
-            temps.astype(jnp.bfloat16), template.atom_ids, template.edges,
-        )
-    )
-    t_fwd_bf = timed(fwd_bf, x)
-    print(f"primal bf16  batch={chains}: {t_fwd_bf*1e3:8.2f} ms  ({t_fwd/t_fwd_bf:.2f}x vs f32)")
-
-    full_cost = 400 * t_fwd / chains + 21 * t_div / chains
-    print(
-        f"\nimplied full-bench cost/sample: {full_cost*1e3:.1f} ms "
+        f"\nimplied full-bench cost/sample (best paths): {full_cost*1e3:.1f} ms "
         f"-> {1/full_cost:.2f} samples/s/chip "
-        f"(traj {400*t_fwd/chains*1e3:.1f} ms, dlogp {21*t_div/chains*1e3:.1f} ms)"
+        f"(traj {400*best_fwd/chains*1e3:.1f} ms, dlogp {21*best_div/chains*1e3:.1f} ms)"
     )
 
 

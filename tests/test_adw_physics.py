@@ -147,3 +147,31 @@ def test_quad_dlogp_matches_full_on_trained_model(trained, transported):
     assert np.percentile(errs[33], 99) <= np.percentile(errs[17], 99) + 1e-5
     assert np.percentile(errs[33], 99) < 5e-3, np.percentile(errs[33], 99)
     assert float(np.max(errs[33])) < 5e-2
+
+
+@pytest.mark.slow
+def test_gauss_dlogp_matches_full_on_trained_model(trained, transported):
+    """Gauss-Legendre dlogp at 10 nodes must match the stage-coupled dlogp
+    as well as Simpson-21+ on a REAL trained field (it replaces Simpson as
+    the production default at ~2x fewer divergence passes; measured sweep:
+    GL-10/12/16 and Simpson-21/33 all plateau at p99 ~6-8e-3 against a
+    256-step coupled reference — the floor is trajectory discretization,
+    not quadrature)."""
+    from ti_tpu.sampling.integrators import sample_ode_gauss_dlogp
+
+    cfg, result, x0 = trained
+    _, _, dlogp_full = transported
+    v = _v_fn(result)
+
+    errs = {}
+    for pts in (6, 10):
+        sol = jax.jit(lambda xs, p=pts: jax.vmap(
+            lambda x: sample_ode_gauss_dlogp(v, x, n_steps=128, gl_points=p, method="rk4")
+        )(xs))(jnp.asarray(x0[:1000])[:, None])
+        errs[pts] = np.abs(np.asarray(sol.dlogp[:, -1]) - dlogp_full[:1000])
+
+    # converges with node count; at 10 nodes the log-weight error is at the
+    # same trajectory-limited floor as Simpson-21/33 (cf. test above)
+    assert np.percentile(errs[10], 99) <= np.percentile(errs[6], 99) + 1e-5
+    assert np.percentile(errs[10], 99) < 1e-2, np.percentile(errs[10], 99)
+    assert float(np.max(errs[10])) < 5e-2

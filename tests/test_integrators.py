@@ -212,6 +212,60 @@ def test_quad_dlogp_multiple_save_points():
     np.testing.assert_allclose(np.asarray(quad.dlogp), np.asarray(full.dlogp), atol=1e-4)
 
 
+def test_gauss_dlogp_exact_for_linear_flow():
+    from ti_tpu.sampling.integrators import sample_ode_gauss_dlogp
+
+    x0 = jnp.array([0.7, 0.3])
+    sol = sample_ode_gauss_dlogp(linear_field, x0, n_steps=40, gl_points=4)
+    np.testing.assert_allclose(float(sol.dlogp[-1]), -float(jnp.trace(A)), rtol=1e-5)
+    full = sample_ode(linear_field, x0, n_steps=40, method="rk4")
+    np.testing.assert_allclose(np.asarray(sol.xs[-1]), np.asarray(full.xs[-1]), rtol=1e-5)
+
+
+def test_gauss_dlogp_matches_full_on_nonlinear():
+    """GL-8 matches the fully coupled dlogp at Simpson-25 accuracy with
+    ~3x fewer divergence nodes."""
+    from ti_tpu.sampling.integrators import sample_ode_gauss_dlogp
+
+    def field(x, t):
+        return jnp.sin(x) * (1.0 + 0.5 * t) + 0.1 * x**2
+
+    x0 = jnp.array([0.4, -0.8, 1.1])
+    full = sample_ode(field, x0, n_steps=240, method="rk4")
+    g8 = sample_ode_gauss_dlogp(field, x0, n_steps=240, gl_points=8)
+    np.testing.assert_allclose(float(g8.dlogp[-1]), float(full.dlogp[-1]), atol=2e-4)
+
+
+def test_gauss_dlogp_multiple_save_points():
+    from ti_tpu.sampling.integrators import sample_ode_gauss_dlogp
+
+    def field(x, t):
+        return -x * (1.0 + t)
+
+    x0 = jnp.array([1.0, 2.0])
+    # analytic: dlogp(t) = int_0^t (1+s) ds * dim = (t + t^2/2) * 2
+    g = sample_ode_gauss_dlogp(field, x0, n_steps=48, gl_points=6, n_save=4)
+    assert g.xs.shape == (4, 2)
+    ts = np.linspace(0.0, 1.0, 4)
+    np.testing.assert_allclose(np.asarray(g.dlogp), 2 * (ts + ts**2 / 2), atol=1e-5)
+    full = sample_ode(field, x0, n_steps=48, method="rk4", n_save=4)
+    np.testing.assert_allclose(np.asarray(g.xs), np.asarray(full.xs), rtol=1e-5, atol=1e-7)
+
+
+def test_gauss_dlogp_reverse_transport():
+    from ti_tpu.sampling.integrators import sample_ode_gauss_dlogp
+
+    x0 = jnp.array([0.5, -0.2])
+    fwd = sample_ode_gauss_dlogp(linear_field, x0, n_steps=40, gl_points=4)
+    back = sample_ode_gauss_dlogp(
+        linear_field, fwd.xs[-1], t0=1.0, t1=0.0, n_steps=40, gl_points=4
+    )
+    np.testing.assert_allclose(np.asarray(back.xs[-1]), np.asarray(x0), atol=1e-6)
+    np.testing.assert_allclose(
+        float(back.dlogp[-1]), -float(fwd.dlogp[-1]), atol=1e-6
+    )
+
+
 def test_quad_dlogp_validation():
     from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
 

@@ -93,6 +93,122 @@ def test_fused_forward_matches_model_apply():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
 
 
+def test_mlp_block_jvp_matches_jax_jvp(setup):
+    """Hand-written recompute JVP == jax.jvp of the jnp composition."""
+    from ti_tpu.ops.pallas_kernels import (
+        _mlp_block,
+        _mlp_block_jvp,
+        edge_mlp_jvp_reference,
+        fused_edge_mlp_reference,
+    )
+
+    in_feat, pe, phi, w, _ = setup
+    key = jax.random.PRNGKey(7)
+    din = jax.random.normal(key, in_feat.shape)
+    dpe = jax.random.normal(jax.random.fold_in(key, 1), pe.shape)
+
+    out, dout = _mlp_block_jvp(in_feat, din, phi)
+    out_ref, dout_ref = jax.jvp(lambda x: _mlp_block(x, phi), (in_feat,), (din,))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dout_ref), rtol=1e-4, atol=1e-5)
+
+    dprod = edge_mlp_jvp_reference(in_feat, pe, din, dpe, phi, w)
+    _, dprod_ref = jax.jvp(
+        lambda x, q: fused_edge_mlp_reference(x, q, phi, w), (in_feat, pe), (din, dpe)
+    )
+    np.testing.assert_allclose(np.asarray(dprod), np.asarray(dprod_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_edge_jvp_kernel_interpret_matches(setup):
+    from ti_tpu.ops.pallas_kernels import edge_mlp_jvp_reference, fused_edge_mlp_jvp
+
+    in_feat, pe, phi, w, _ = setup
+    key = jax.random.PRNGKey(8)
+    din = jax.random.normal(key, in_feat.shape)
+    dpe = jax.random.normal(jax.random.fold_in(key, 1), pe.shape)
+
+    expected = edge_mlp_jvp_reference(in_feat, pe, din, dpe, phi, w)
+    out = fused_edge_mlp_jvp(in_feat, pe, din, dpe, phi, w, tile=32, interpret=True)
+    assert out.shape == (R, 5 * F)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edge_mlp_diff_linearize(setup):
+    """custom_jvp wrapper: linearize tangents == reference tangents; weight
+    tangents fall back to the jnp JVP."""
+    from ti_tpu.ops.pallas_kernels import (
+        fused_edge_mlp_diff,
+        fused_edge_mlp_reference,
+    )
+
+    in_feat, pe, phi, w, expected = setup
+    f = fused_edge_mlp_diff(32, True)
+
+    out, f_lin = jax.linearize(lambda x, q: f(x, q, phi, w), in_feat, pe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+    key = jax.random.PRNGKey(9)
+    din = jax.random.normal(key, in_feat.shape)
+    dpe = jax.random.normal(jax.random.fold_in(key, 1), pe.shape)
+    _, dref = jax.jvp(
+        lambda x, q: fused_edge_mlp_reference(x, q, phi, w), (in_feat, pe), (din, dpe)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_lin(din, dpe)), np.asarray(dref), rtol=1e-4, atol=1e-4
+    )
+    # one-sided (symbolic-zero pe tangent) lane, as in layer 0 of the
+    # dense divergence path
+    _, dref1 = jax.jvp(
+        lambda x: fused_edge_mlp_reference(x, pe, phi, w), (in_feat,), (din,)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_lin(din, jnp.zeros_like(dpe))), np.asarray(dref1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # weight-tangent fallback path stays correct
+    dphi = jax.tree.map(jnp.ones_like, phi)
+    _, dref_w = jax.jvp(
+        lambda ph: fused_edge_mlp_reference(in_feat, pe, ph, w), (phi,), (dphi,)
+    )
+    _, dgot_w = jax.jvp(lambda ph: f(in_feat, pe, ph, w), (phi,), (dphi,))
+    np.testing.assert_allclose(np.asarray(dgot_w), np.asarray(dref_w), rtol=1e-4, atol=1e-4)
+
+
+def test_dense_fused_divergence_matches_unfused():
+    """apply_dense(fused=True) forward + exact divergence == fused=False."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (2, 6, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (2, 1))
+
+    def v(x, fused):
+        return apply_dense(
+            model, params, x[None], jnp.array([0.5]), temps[:1],
+            template.atom_ids, template.edges,
+            fused=fused, tile=32, interpret=True,
+        )[0]
+
+    out_ref = v(xs[0], False)
+    out_fused = v(xs[0], True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+    )
+
+    _, d_ref = divergence_exact(lambda x: v(x, False), xs[0])
+    _, d_fused = divergence_exact(lambda x: v(x, True), xs[0])
+    np.testing.assert_allclose(float(d_fused), float(d_ref), rtol=1e-3)
+
+
 def test_dense_forward_matches_model_apply():
     """Dense (N x N) pair formulation == vmap(model.apply), and its exact
     divergence matches too (it must serve the dlogp path)."""

@@ -86,3 +86,26 @@ def test_quad_dlogp_sampler_matches_full():
     np.testing.assert_allclose(np.asarray(b.dlogp), np.asarray(a.dlogp), atol=1e-4)
     np.testing.assert_allclose(np.asarray(c.xs), np.asarray(b.xs), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c.dlogp), np.asarray(b.dlogp), atol=1e-5)
+
+
+def test_gauss_dlogp_sampler_matches_full():
+    key = jax.random.PRNGKey(4)
+    x0 = jax.random.normal(key, (4, 3))
+    conds = jnp.linspace(0.5, 1.2, 4)
+
+    full = make_ode_sampler(_v_fn_of, solver="rk4", n_steps=48, n_save=3)
+    g_single = make_ode_sampler(
+        _v_fn_of, solver="rk4", n_steps=48, n_save=3, dlogp_quad_points=6,
+        dlogp_quad="gauss",
+    )
+    g_seg = make_ode_sampler(
+        _v_fn_of, solver="rk4", n_steps=48, n_save=3, dlogp_quad_points=6,
+        dlogp_quad="gauss", steps_per_dispatch=8,
+    )
+    a = full(x0, conds, key)
+    b = g_single(x0, conds, key)
+    c = g_seg(x0, conds, key)
+    np.testing.assert_allclose(np.asarray(b.xs), np.asarray(a.xs), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.dlogp), np.asarray(a.dlogp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c.xs), np.asarray(b.xs), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c.dlogp), np.asarray(b.dlogp), atol=1e-4)

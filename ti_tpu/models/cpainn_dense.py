@@ -50,14 +50,44 @@ def apply_dense(
     temps: Array,  # (B, K)
     atom_ids: Array,  # (N,)
     edges: EdgeTable,
+    *,
+    fused: bool = False,
+    tile: int = 128,
+    interpret: bool = False,
 ) -> Array:
-    """Batched velocity field, dense-pair layout: (B, N, 3) -> (B, N, 3)."""
+    """Batched velocity field, dense-pair layout: (B, N, 3) -> (B, N, 3).
+
+    ``fused=True`` routes the per-pair message MLPs through the Pallas
+    fused kernel with its custom-JVP tangent kernel
+    (ops/pallas_kernels.fused_edge_mlp_diff): forward AND the exact-
+    divergence tangent lanes keep all MLP intermediates in VMEM. Forward-
+    mode only — reverse-mode (training) must use fused=False.
+    """
     p = params["params"]
     f = model.n_features
     b, n, _ = x.shape
 
     def mlp(rows, subtree):
         return _mlp_block(rows, mlp_weights_from_flax(subtree))
+
+    if fused:
+        from ti_tpu.ops.pallas_kernels import fused_edge_mlp_diff
+
+        edge_pair = fused_edge_mlp_diff(tile, interpret)
+
+        def message_mlps(in_feats, pe_rows, mp):
+            rows = in_feats.reshape(b * n * n, -1)
+            pes = pe_rows.reshape(b * n * n, -1)
+            out = edge_pair(
+                rows, pes,
+                mlp_weights_from_flax(mp["phi"]), mlp_weights_from_flax(mp["w"]),
+            )
+            return out.reshape(b, n, n, -1)
+
+    else:
+
+        def message_mlps(in_feats, pe_rows, mp):
+            return mlp(in_feats, mp["phi"]) * mlp(pe_rows, mp["w"])
 
     # pair grid: i = dst, j = src; r[i, j] = x[j] - x[i]
     r = x[:, None, :, :] - x[:, :, None, :]  # (B, N(dst), N(src), 3)
@@ -90,7 +120,7 @@ def apply_dense(
         # in_features[i, j] = [s[j], e[i, j]]
         s_src = jnp.broadcast_to(s[:, None, :, :], (b, n, n, f))
         in_feats = jnp.concatenate([s_src, e], axis=-1)
-        h = mlp(in_feats, mp["phi"]) * mlp(pe, mp["w"])  # (B, N, N, 5F)
+        h = message_mlps(in_feats, pe, mp)  # (B, N, N, 5F)
         gates, scale_dir, ds, de, cg = jnp.split(h * mask, 5, axis=-1)
 
         dv = (

@@ -74,6 +74,53 @@ def fused_edge_mlp_reference(in_feat: Array, pe: Array, phi: MLPWeights, w: MLPW
     return _mlp_block(in_feat, phi) * _mlp_block(pe, w)
 
 
+def _ln_silu_jvp(h, dh, scale, bias):
+    """(LayerNorm -> SiLU) with its JVP, recompute-style (no residuals)."""
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    cen = h - mu
+    var = jnp.mean(cen**2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = cen * rstd
+    l = xhat * scale + bias
+
+    dmu = jnp.mean(dh, axis=-1, keepdims=True)
+    dcen = dh - dmu
+    dvar = 2.0 * jnp.mean(cen * dh, axis=-1, keepdims=True)
+    drstd = -0.5 * rstd * rstd * rstd * dvar
+    dl = (dcen * rstd + cen * drstd) * scale
+
+    sig = jax.nn.sigmoid(l)
+    a = l * sig
+    da = sig * (1.0 + l * (1.0 - sig)) * dl
+    return a, da
+
+
+def _mlp_block_jvp(x, dx, w: MLPWeights):
+    """(out, dout) of the reference MLP under input tangent dx.
+
+    Tangent-of-weights is zero by construction (the divergence/dlogp path
+    differentiates w.r.t. coordinates only). Shares every primal
+    intermediate with the tangent chain — usable on a VMEM tile inside a
+    Pallas kernel and as the pure-jnp reference for tests.
+    """
+    h = jnp.dot(x, w.w1, preferred_element_type=jnp.float32) + w.b1
+    dh = jnp.dot(dx, w.w1, preferred_element_type=jnp.float32)
+    a, da = _ln_silu_jvp(h, dh, w.ln1_scale, w.ln1_bias)
+    h = jnp.dot(a, w.w2, preferred_element_type=jnp.float32) + w.b2
+    dh = jnp.dot(da, w.w2, preferred_element_type=jnp.float32)
+    a, da = _ln_silu_jvp(h, dh, w.ln2_scale, w.ln2_bias)
+    out = jnp.dot(a, w.w3, preferred_element_type=jnp.float32) + w.b3
+    dout = jnp.dot(da, w.w3, preferred_element_type=jnp.float32)
+    return out, dout
+
+
+def edge_mlp_jvp_reference(in_feat, pe, din, dpe, phi: MLPWeights, w: MLPWeights):
+    """Tangent of fused_edge_mlp_reference under (din, dpe) — pure jnp."""
+    p, dp = _mlp_block_jvp(in_feat, din, phi)
+    q, dq = _mlp_block_jvp(pe, dpe, w)
+    return dp * q + p * dq
+
+
 def _kernel(in_ref, pe_ref, *refs):
     phi_vals = MLPWeights(*(r[:] for r in refs[:10]))
     w_vals = MLPWeights(*(r[:] for r in refs[10:20]))
@@ -124,6 +171,117 @@ def fused_edge_mlp(
         interpret=interpret,
     )(in_feat, pe, *phi2, *w2)
     return out[:r]
+
+
+def _edge_jvp_kernel(in_ref, pe_ref, din_ref, dpe_ref, *refs):
+    phi_vals = MLPWeights(*(r[:] for r in refs[:10]))
+    w_vals = MLPWeights(*(r[:] for r in refs[10:20]))
+    out_ref = refs[20]
+    p, dp = _mlp_block_jvp(in_ref[:], din_ref[:], phi_vals)
+    q, dq = _mlp_block_jvp(pe_ref[:], dpe_ref[:], w_vals)
+    out_ref[:] = dp * q + p * dq
+
+
+def fused_edge_mlp_jvp(
+    in_feat: Array,
+    pe: Array,
+    din: Array,
+    dpe: Array,
+    phi: MLPWeights,
+    w: MLPWeights,
+    *,
+    tile: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """Tangent of ``fused_edge_mlp`` under input tangents, fused in VMEM.
+
+    Recomputes the primal chains on the tile instead of reading residuals
+    from HBM: the divergence path evaluates 3N tangent lanes against ONE
+    primal, so HBM-resident residuals would be read 3N times — recompute
+    trades ~2x tile FLOPs (MXU headroom) for ~4x less HBM traffic, which is
+    what bounds the exact-dlogp hot loop (scripts/profile_divergence.py).
+    """
+    r, f_in = in_feat.shape
+    f_out = phi.w3.shape[1]
+    r_pad = -(-r // tile) * tile
+    if r_pad != r:
+        pad = ((0, r_pad - r), (0, 0))
+        in_feat, pe = jnp.pad(in_feat, pad), jnp.pad(pe, pad)
+        din, dpe = jnp.pad(din, pad), jnp.pad(dpe, pad)
+
+    def as2d(a):
+        return a[None, :] if a.ndim == 1 else a
+
+    phi2 = MLPWeights(*(as2d(a) for a in phi))
+    w2 = MLPWeights(*(as2d(a) for a in w))
+    grid = (r_pad // tile,)
+    row_spec = lambda width: pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _edge_jvp_kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(in_feat.shape[1]), row_spec(pe.shape[1]),
+            row_spec(din.shape[1]), row_spec(dpe.shape[1]),
+        ] + [full_spec(t.shape) for t in (*phi2, *w2)],
+        out_specs=row_spec(f_out),
+        out_shape=jax.ShapeDtypeStruct((r_pad, f_out), in_feat.dtype),
+        interpret=interpret,
+    )(in_feat, pe, din, dpe, *phi2, *w2)
+    return out[:r]
+
+
+@functools.lru_cache(maxsize=None)
+def fused_edge_mlp_diff(tile: int = 128, interpret: bool = False):
+    """Differentiable fused edge-MLP: ``f(in_feat, pe, phi, w) -> (R, 5F)``.
+
+    Forward = the fused Pallas kernel; JVP w.r.t. (in_feat, pe) = the fused
+    tangent kernel. Under ``jax.linearize`` the primal is hoisted and only
+    the tangent kernel runs per lane, so the exact-divergence path gets the
+    VMEM fusion end to end. Tangents w.r.t. the WEIGHTS fall back to
+    ``jax.jvp`` of the jnp reference (training differentiates params via the
+    flax module, not this path — the fallback keeps autodiff correct if it
+    is ever reached). No transpose rule: reverse-mode (grad) must not cross
+    this function; use the jnp composition for training losses.
+    """
+
+    @jax.custom_jvp
+    def f(in_feat, pe, phi, w):
+        return fused_edge_mlp(in_feat, pe, phi, w, tile=tile, interpret=interpret)
+
+    @functools.partial(f.defjvp, symbolic_zeros=True)
+    def f_jvp(primals, tangents):
+        in_feat, pe, phi, w = primals
+        din, dpe, dphi, dw = tangents
+
+        def is_zero(t):
+            return isinstance(t, jax.custom_derivatives.SymbolicZero)
+
+        def inst(t, like):
+            return jnp.zeros(like.shape, like.dtype) if is_zero(t) else t
+
+        out = fused_edge_mlp(in_feat, pe, phi, w, tile=tile, interpret=interpret)
+        weight_tans = jax.tree.leaves((dphi, dw), is_leaf=is_zero)
+        if any(not is_zero(t) for t in weight_tans):
+            # full-generality fallback (never hit on the sampling paths)
+            _, dout = jax.jvp(
+                fused_edge_mlp_reference,
+                (in_feat, pe, phi, w),
+                (
+                    inst(din, in_feat), inst(dpe, pe),
+                    jax.tree.map(inst, dphi, phi, is_leaf=is_zero),
+                    jax.tree.map(inst, dw, w, is_leaf=is_zero),
+                ),
+            )
+            return out, dout
+        dout = fused_edge_mlp_jvp(
+            in_feat, pe, inst(din, in_feat), inst(dpe, pe), phi, w,
+            tile=tile, interpret=interpret,
+        )
+        return out, dout
+
+    return f
 
 
 def _single_mlp_kernel(x_ref, *refs):

@@ -42,6 +42,7 @@ def make_ode_sampler(
     steps_per_dispatch: Optional[int] = None,
     max_steps: int = 1024,
     dlogp_quad_points: Optional[int] = None,
+    dlogp_quad: str = "simpson",
 ):
     """Build a batched transport sampler.
 
@@ -55,18 +56,28 @@ def make_ode_sampler(
     execution deadlines and enables host-side progress/checkpointing on very
     long rollouts. None = the whole rollout in one dispatch.
 
-    ``dlogp_quad_points`` (odd, >= 3; fixed-step solvers only) switches to
-    the quadrature-decoupled dlogp path (integrators.sample_ode_quad_dlogp):
-    the trajectory is integrated with cheap velocity-only steps and the
-    divergence is Simpson-integrated over this many nodes — ~(3N·n_stages·
-    n_steps)/(3N·K) ≈ 15x cheaper at parity-level accuracy for smooth
-    trained fields (accuracy quantified in tests/test_integrators.py and
-    tests/test_adw_physics.py).
+    ``dlogp_quad_points`` (fixed-step solvers only) switches to the
+    quadrature-decoupled dlogp path: the trajectory is integrated with cheap
+    velocity-only steps and the divergence is integrated over few nodes —
+    ~(3N·n_stages·n_steps)/(3N·K) ≈ 15-40x cheaper at parity-level accuracy
+    for smooth trained fields (accuracy quantified in
+    tests/test_integrators.py and tests/test_adw_physics.py).
+    ``dlogp_quad`` selects the rule: "simpson" (composite, dlogp_quad_points
+    odd total nodes; integrators.sample_ode_quad_dlogp) or "gauss"
+    (Gauss-Legendre, dlogp_quad_points nodes PER SAVE INTERVAL — typically
+    8 nodes match Simpson-21+; integrators.sample_ode_gauss_dlogp).
     """
 
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":
             raise ValueError("dlogp_quad_points requires a fixed-step solver")
+        if dlogp_quad == "gauss":
+            return _gauss_dlogp_sampler(
+                v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
+                n_save=n_save, gl_points=dlogp_quad_points,
+                divergence=divergence, div_chunk=div_chunk,
+                steps_per_dispatch=steps_per_dispatch,
+            )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
@@ -247,6 +258,120 @@ def _quad_dlogp_sampler(
     return sampler
 
 
+def _gauss_dlogp_sampler(
+    v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
+    div_chunk, steps_per_dispatch,
+):
+    """Driver-level Gauss-Legendre-decoupled dlogp.
+
+    Phase 1 integrates gap by gap (gap = interval between consecutive
+    quadrature/save boundaries) with ONE jitted velocity-only segment
+    reused for every gap (start/end times are traced), so each device
+    dispatch is bounded by the per-gap step count. Phase 2 is one bounded
+    divergence dispatch over all nodes, then the weighted sum.
+    """
+    from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson
+    from ti_tpu.sampling.integrators import sample_ode, sample_ode_gauss_dlogp
+
+    if gl_points < 1:
+        raise ValueError("gl_points must be >= 1")
+
+    if steps_per_dispatch is None:
+
+        @jax.jit
+        def sampler_single(x0s, conds, key):
+            keys = jax.random.split(key, x0s.shape[0])
+            return jax.vmap(
+                lambda x, c, k: sample_ode_gauss_dlogp(
+                    v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
+                    gl_points=gl_points, n_save=n_save, method=solver,
+                    divergence=divergence, key=k, div_chunk=div_chunk,
+                )
+            )(x0s, conds, keys)
+
+        return sampler_single
+
+    # static quadrature bookkeeping: per save interval, gap boundaries are
+    # [save_j, GL nodes..., save_{j+1}]
+    gl_x, gl_w = np.polynomial.legendre.leggauss(gl_points)
+    saves = np.linspace(t0, t1, n_save)
+    bounds = [t0]
+    node_w = np.zeros((n_save - 1, gl_points))
+    for j in range(n_save - 1):
+        lo, hi = saves[j], saves[j + 1]
+        half = 0.5 * (hi - lo)
+        bounds.extend((lo + half * (gl_x + 1.0)).tolist())
+        bounds.append(hi)
+        node_w[j] = gl_w * half
+    bounds = np.asarray(bounds)  # len = 1 + (n_save-1)*(gl_points+1)
+    gaps_per_interval = gl_points + 1
+    # equal sub-step count per gap -> a single jitted segment function
+    m = max(1, -(-n_steps // ((n_save - 1) * gaps_per_interval)))
+    m = min(m, steps_per_dispatch)
+    n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
+
+    @jax.jit
+    def seg(x, conds, ta, tb):
+        def one(x0, cond):
+            sol = sample_ode(
+                v_fn_of(cond), x0, t0=ta, t1=tb, n_steps=m, n_save=2,
+                method=solver, return_dlogp=False,
+            )
+            return sol.xs[-1]
+
+        return jax.vmap(one)(x, conds)
+
+    @jax.jit
+    def div_all(xs_nodes, conds, ts_nodes, key):
+        def one_chain(xs_p, cond, k):
+            def node(args):
+                x, t, i = args
+                f = lambda y: v_fn_of(cond)(y, t)
+                if divergence == "exact":
+                    return divergence_exact(f, x, chunk=div_chunk)[1]
+                return divergence_hutchinson(
+                    f, x, jax.random.fold_in(k, i), num_probes=8
+                )[1]
+
+            return jax.lax.map(node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])))
+
+        keys = jax.random.split(key, xs_nodes.shape[0])
+        return jax.vmap(one_chain)(xs_nodes, conds, keys)
+
+    # node positions within `bounds`: every index except save boundaries
+    save_pos = np.arange(n_save) * gaps_per_interval
+    node_pos = np.setdiff1d(np.arange(len(bounds)), save_pos)
+
+    def sampler(x0s, conds, key):
+        x = jnp.asarray(x0s)
+        states = [x]
+        for gi in range(len(bounds) - 1):
+            x = seg(
+                x, conds,
+                jnp.asarray(bounds[gi], x.dtype), jnp.asarray(bounds[gi + 1], x.dtype),
+            )
+            states.append(x)
+        stacked = jnp.stack(states, axis=1)  # (C, len(bounds), ...)
+        xs_nodes = stacked[:, node_pos]
+        divs = div_all(
+            xs_nodes, conds, jnp.asarray(bounds[node_pos], x.dtype),
+            jax.random.fold_in(key, 10_000),
+        )  # (C, (n_save-1)*gl_points)
+        divs = divs.reshape(divs.shape[0], n_save - 1, gl_points)
+        w = jnp.asarray(node_w, x.dtype)
+        per_interval = -jnp.sum(w[None] * divs, axis=2)
+        dlogp = jnp.concatenate(
+            [jnp.zeros((divs.shape[0], 1), x.dtype), jnp.cumsum(per_interval, axis=1)],
+            axis=1,
+        )
+        nfe = jnp.asarray(
+            (len(bounds) - 1) * m * n_stages + len(node_pos), jnp.int32
+        )
+        return ODESolution(xs=stacked[:, save_pos], dlogp=dlogp, nfe=nfe)
+
+    return sampler
+
+
 def _segmented_dopri5_sampler(
     v_fn_of, *, t0, t1, n_save, atol, rtol, return_dlogp, divergence,
     div_chunk, steps_per_dispatch,
@@ -382,16 +507,21 @@ def molecular_v_fn_of(model, params, template: MolGraph, impl: str = "dense"):
     impl="dense" (default) uses the gather-free dense-pair forward
     (models/cpainn_dense.py — measured 1.7x faster forward and 2.15x faster
     exact-divergence evaluation than the edge formulation on v5e, same
-    parameters, parity-tested); impl="edge" is the flax module apply.
+    parameters, parity-tested); impl="dense_fused" additionally routes the
+    per-pair message MLPs through the Pallas fused kernel + custom-JVP
+    tangent kernel (forward-mode only — fine for sampling/dlogp, not for
+    reverse-mode training); impl="edge" is the flax module apply.
     """
-    if impl == "dense":
+    if impl in ("dense", "dense_fused"):
         from ti_tpu.models.cpainn_dense import apply_dense
+
+        fused = impl == "dense_fused"
 
         def v_fn_of(temps):
             def v(x, t):
                 return apply_dense(
                     model, params, x[None], jnp.asarray(t)[None], temps[None],
-                    template.atom_ids, template.edges,
+                    template.atom_ids, template.edges, fused=fused,
                 )[0]
 
             return v

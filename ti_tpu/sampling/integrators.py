@@ -341,6 +341,135 @@ def sample_ode_dopri5(
     )
 
 
+def sample_ode_times(
+    v_fn: VelocityFn,
+    x0: Array,
+    ts: np.ndarray,
+    *,
+    method: str = "rk4",
+) -> Array:
+    """Velocity-only RK integration over an EXPLICIT (static) time grid.
+
+    ``ts`` is a host-side array of step boundaries (monotone, possibly
+    non-uniform — the Gauss-dlogp path lands steps exactly on quadrature
+    nodes). Returns all states, shape ``(len(ts), *x0.shape)``. Per-step dt
+    varies; the RK stage structure still compiles to ONE rhs trace.
+    """
+    ts = np.asarray(ts)
+    cc, aa, bb = _tableau(method)
+    c = jnp.asarray(cc, x0.dtype)
+    a = jnp.asarray(aa, x0.dtype)
+    b = jnp.asarray(bb, x0.dtype)
+    shape = jnp.shape(x0)
+    d = int(jnp.size(x0))
+    rhs = lambda y, t, i: jnp.reshape(v_fn(jnp.reshape(y, shape), t), (d,))
+
+    t_arr = jnp.asarray(ts[:-1], x0.dtype)
+    dt_arr = jnp.asarray(np.diff(ts), x0.dtype)
+
+    def step(y, tdt):
+        t, dt = tdt
+        y2 = _rk_step(rhs, y, t, dt, c, a, b, 0)
+        return y2, y2
+
+    y0 = jnp.reshape(x0, (d,))
+    _, ys = jax.lax.scan(step, y0, (t_arr, dt_arr))
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    return jnp.reshape(ys, (len(ts),) + shape)
+
+
+def gauss_dlogp_schedule(
+    t0: float, t1: float, n_steps: int, gl_points: int, n_save: int
+):
+    """Static step grid + quadrature bookkeeping for Gauss-Legendre dlogp.
+
+    Per save interval, ``gl_points`` Gauss-Legendre nodes are inserted as
+    step boundaries, with RK sub-step counts per gap proportional to gap
+    length (>= 1), totalling ~n_steps overall. Returns
+    (ts, node_idx (n_save-1, gl_points), node_weights (n_save-1, gl_points),
+    save_idx (n_save,)).
+    """
+    if n_save < 2:
+        raise ValueError("n_save must be >= 2")
+    gl_x, gl_w = np.polynomial.legendre.leggauss(gl_points)  # on [-1, 1]
+    saves = np.linspace(t0, t1, n_save)
+    per_interval = max(gl_points + 1, n_steps // (n_save - 1))
+    ts = [t0]
+    node_idx = np.zeros((n_save - 1, gl_points), dtype=np.int64)
+    node_w = np.zeros((n_save - 1, gl_points))
+    save_idx = [0]
+    for j in range(n_save - 1):
+        lo, hi = saves[j], saves[j + 1]
+        half = 0.5 * (hi - lo)
+        nodes = lo + half * (gl_x + 1.0)
+        node_w[j] = gl_w * half  # d(t)/d(u) factor
+        bounds = np.concatenate([[lo], nodes, [hi]])
+        gaps = np.diff(bounds)
+        m = np.maximum(1, np.round(per_interval * np.abs(gaps) / np.abs(hi - lo)).astype(int))
+        for k, (a, g, mk) in enumerate(zip(bounds[:-1], gaps, m)):
+            ts.extend((a + g * np.arange(1, mk + 1) / mk).tolist())
+            if k < gl_points:
+                node_idx[j, k] = len(ts) - 1
+        save_idx.append(len(ts) - 1)
+    return np.asarray(ts), node_idx, node_w, np.asarray(save_idx)
+
+
+def sample_ode_gauss_dlogp(
+    v_fn: VelocityFn,
+    x0: Array,
+    *,
+    t0: float = 0.0,
+    t1: float = 1.0,
+    n_steps: int = 100,
+    gl_points: int = 8,
+    n_save: int = 2,
+    method: str = "rk4",
+    divergence: str = "exact",
+    key: Optional[Array] = None,
+    num_probes: int = 8,
+    div_chunk: Optional[int] = None,
+) -> ODESolution:
+    """Transport with GAUSS-LEGENDRE-decoupled dlogp.
+
+    Like ``sample_ode_quad_dlogp`` (Simpson), but the divergence integrand
+    -div b(x(t), t) — a SMOOTH scalar along the trajectory — is integrated
+    with ``gl_points`` Gauss-Legendre nodes per save interval: exactness up
+    to polynomial degree 2K-1 lets K≈8 match composite Simpson with 21+
+    nodes on trained fields (quantified in tests/test_integrators.py),
+    cutting the expensive (1 + 3N tangent-lane) divergence evaluations by
+    ~2.5x. The RK step grid is warped so the quadrature nodes are exact
+    step boundaries — no interpolation error (gauss_dlogp_schedule).
+    """
+    ts, node_idx, node_w, save_idx = gauss_dlogp_schedule(
+        t0, t1, n_steps, gl_points, n_save
+    )
+    xs_all = sample_ode_times(v_fn, x0, ts, method=method)
+
+    rhs = _make_rhs_joint(
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk
+    )
+    d = int(jnp.size(x0))
+    flat_idx = node_idx.reshape(-1)
+    xs_nodes = xs_all[flat_idx]
+    ts_nodes = jnp.asarray(ts[flat_idx], x0.dtype)
+
+    def div_at(args):
+        x, t, i = args
+        y = jnp.concatenate([jnp.reshape(x, (d,)), jnp.zeros((1,), x.dtype)])
+        return -rhs(y, t, i)[d]
+
+    divs = jax.lax.map(div_at, (xs_nodes, ts_nodes, jnp.arange(flat_idx.shape[0])))
+    divs = divs.reshape(node_idx.shape)
+    w = jnp.asarray(node_w, x0.dtype)
+    per_interval = -jnp.sum(w * divs, axis=1)  # dlogp increment per interval
+    dlogp = jnp.concatenate(
+        [jnp.zeros((1,), x0.dtype), jnp.cumsum(per_interval)]
+    )
+    n_stages = {"euler": 1, "heun": 2, "rk4": 4}[method]
+    nfe = jnp.asarray((len(ts) - 1) * n_stages + flat_idx.shape[0], jnp.int32)
+    return ODESolution(xs=xs_all[jnp.asarray(save_idx)], dlogp=dlogp, nfe=nfe)
+
+
 def sample_sde(
     drift_fn: VelocityFn,
     x0: Array,
