@@ -134,3 +134,100 @@ def test_dlogp_mean_matches_volume_change(transported):
     assert expected > 0
     assert np.mean(dlogp) > 0.4 * expected
     assert np.mean(dlogp) < 1.6 * expected
+
+
+# ---------------------------------------------------------------------------
+# Latent (Boltzmann-generator) oracle: noise -> data at one temperature.
+#
+# The target is an isotropic harmonic well CENTERED AT THE ORIGIN — the
+# potential MUST be rotation-invariant: cPaiNN is SE(3)-equivariant, so the
+# ODE from isotropic noise can only generate rotation-invariant densities.
+# (A fixed-orientation target is unlearnable BY SYMMETRY — verified:
+# training plateaus and ESS collapses. The reference never hits this
+# because its BG weights use rotation-invariant GAFF energies,
+# mdqm9/analysis/utils/ess.py:13-23.)
+#
+# The BG absolute-free-energy identity: with z ~ N(0, I) COM-projected
+# (3(N-1) effective dims) transported to x by the learned ODE with dlogp,
+# the generator density is log q(x) = log p_z(z) + dlogp, so the importance
+# weight w = exp(-u(x))/q(x) satisfies E_q[w] = Z = (2 pi sigma_T^2)^{3(N-1)/2}
+# exactly — REGARDLESS of how well the generator fits. This jointly
+# validates latent training (one-sided interpolant + Kabsch-aligned noise),
+# the unconditioned cPaiNN, the BG sampler, and the dlogp sign convention.
+# TPU-sized version: scripts/validate_latent_physics.py (|err| ~ 3e-4,
+# ESS 97%).
+# ---------------------------------------------------------------------------
+
+T_LAT = 300
+JITTER_LAT = 0.25  # sigma = 0.25 -> -log Z ~ 4.2, a strong signal
+
+
+@pytest.fixture(scope="module")
+def latent_trained(tmp_path_factory):
+    from ti_tpu.data.mdqm9 import MDQM9LatentDataset
+    from ti_tpu.train.latent import train_latent
+
+    tmp = tmp_path_factory.mktemp("mdqm9_latent_physics")
+    mol = make_synthetic_molecule(n_atoms=N_ATOMS, seed=0)
+    sigma = JITTER_LAT * np.sqrt(T_LAT / 300.0)
+    rng = np.random.default_rng(7)
+    frames = sigma * rng.standard_normal((2048, N_ATOMS, 3)).astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
+    cfg = MDQM9Config(
+        n_features=16, score_layers=2, batch_size=64, n_epochs=60,
+        learning_rate=2e-3, scale_trajs=False, T=[T_LAT], sampling_T=T_LAT,
+        solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
+        model_save_path=str(tmp / "models"), data_save_path=str(tmp / "out"),
+    )
+    ds = MDQM9LatentDataset.from_arrays(
+        frames, np.full(len(frames), float(T_LAT)), mol, t_cond=0, align=True
+    )
+    result = train_latent(cfg, ds)
+    return cfg, result, mol
+
+
+@pytest.fixture(scope="module")
+def latent_generated(latent_trained):
+    from ti_tpu.sampling.drivers import sample_latent
+
+    cfg, result, mol = latent_trained
+    out = sample_latent(
+        cfg, result["model"], result["params"], result["template"],
+        n_samples=512, save=False, batch_size=256,
+    )
+    z = out["samples"][:, 0]  # trajectory start IS the noise draw
+    x = out["samples"][:, -1]
+    return mol, z, x, out["dlogps"]
+
+
+@pytest.mark.slow
+def test_latent_generated_width(latent_generated):
+    _, _, x, _ = latent_generated
+    xc = x - x.mean(axis=1, keepdims=True)
+    width = np.sqrt(np.sum(xc**2, axis=(1, 2)).mean() / (3 * (N_ATOMS - 1)))
+    sigma = JITTER_LAT * np.sqrt(T_LAT / 300.0)
+    # generator should land near the target width (BG reweighting below is
+    # exact regardless; this catches gross training failures)
+    assert abs(width - sigma) < 0.5 * sigma, (width, sigma)
+
+
+@pytest.mark.slow
+def test_latent_bg_partition_function(latent_generated):
+    _, z, x, dlogp = latent_generated
+    sigma = JITTER_LAT * np.sqrt(T_LAT / 300.0)
+    d_eff = 3 * (N_ATOMS - 1)
+
+    xc = x - x.mean(axis=1, keepdims=True)
+    u = np.sum(xc**2, axis=(1, 2)) / (2.0 * sigma**2)
+    # COM-projected z: |z|^2 in ambient coords equals the subspace norm
+    log_pz = -0.5 * np.sum(z**2, axis=(1, 2)) - 0.5 * d_eff * np.log(2 * np.pi)
+
+    log_w = -u - log_pz - dlogp  # log[p_target_unnorm / q]
+    mx = log_w.max()
+    neg_log_Z_est = -(mx + np.log(np.mean(np.exp(log_w - mx))))
+    neg_log_Z_exact = -0.5 * d_eff * np.log(2 * np.pi * sigma**2)
+    assert neg_log_Z_est == pytest.approx(neg_log_Z_exact, abs=0.2), (
+        neg_log_Z_est, neg_log_Z_exact,
+    )
+    w = np.exp(log_w - mx)
+    assert calc_ess(w) > 0.1 * len(x)
