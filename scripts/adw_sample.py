@@ -29,5 +29,12 @@ if __name__ == "__main__":
     csv = os.path.join(cfg.traj_path, cfg.traj_filename)
     dataset = ADWDataset.from_csv(csv, cfg.beta0s, cfg.n_samples, seed=cfg.seed)
     _, _, test = dataset.splits()
-    out = sample_adw(cfg, model, ck["params"], test.x, test.beta.reshape(-1))
+    x, beta = test.x, test.beta.reshape(-1)
+    if cfg.num_shards > 1:  # multi-host fan-out (parallel/fanout.py)
+        from ti_tpu.parallel.fanout import shard_config, shard_slice
+
+        lo, hi = shard_slice(len(x), cfg.shard, cfg.num_shards)
+        x, beta = x[lo:hi], beta[lo:hi]
+        cfg = shard_config(cfg, cfg.shard, cfg.num_shards)
+    out = sample_adw(cfg, model, ck["params"], x, beta)
     print(f"sampled {out['samples'].shape[1]} chains, nfe={out['nfe']}")

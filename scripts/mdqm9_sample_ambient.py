@@ -44,5 +44,14 @@ if __name__ == "__main__":
     else:
         x0 = ds.frames
 
+    if cfg.num_shards > 1:  # multi-host fan-out (parallel/fanout.py)
+        from ti_tpu.parallel.fanout import shard_config, shard_slice
+
+        lo, hi = shard_slice(len(x0), cfg.shard, cfg.num_shards)
+        x0 = x0[lo:hi]
+        if latent_z is not None:
+            latent_z, latent_dlogp = latent_z[lo:hi], latent_dlogp[lo:hi]
+        cfg = shard_config(cfg, cfg.shard, cfg.num_shards)
+
     out = sample_ambient(cfg, model, ck["params"], ds.template, x0, latent_z, latent_dlogp)
     print(f"sampled {len(out['samples'])} conformations, nfe={out['nfe']}")

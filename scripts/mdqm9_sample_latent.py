@@ -27,5 +27,13 @@ if __name__ == "__main__":
         cfg.traj_path, cfg.sdf_path, cfg.mdqm9_traj_filename, cfg.sdf_filename,
         split="test", Ts=cfg.T, scale=cfg.scale_trajs, align=cfg.align,
     )
-    out = sample_latent(cfg, model, ck["params"], ds.template)
+    n_samples = None
+    if cfg.num_shards > 1:  # multi-host fan-out (parallel/fanout.py)
+        from ti_tpu.parallel.fanout import shard_config, shard_slice
+
+        lo, hi = shard_slice(cfg.n_latent_samples, cfg.shard, cfg.num_shards)
+        n_samples = hi - lo
+        cfg = shard_config(cfg, cfg.shard, cfg.num_shards)
+
+    out = sample_latent(cfg, model, ck["params"], ds.template, n_samples=n_samples)
     print(f"generated {len(out['samples'])} conformations, nfe={out['nfe']}")

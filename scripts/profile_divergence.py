@@ -110,7 +110,26 @@ def main():
     t_div_f = timed(div("dense_fused", None), x, reps=4)
     print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
 
-    best_div = min(t_div, t_div_nc, t_div_f)
+    from ti_tpu.ops.dense_divergence import dense_divergence
+
+    def div_hand(chunk):
+        def f(xx, i):
+            def one(xc, tempc):
+                return dense_divergence(
+                    model, params, xc + 1e-3 * i, jnp.asarray(0.5), tempc,
+                    template.atom_ids, template.edges, lane_chunk=chunk,
+                )[1]
+
+            return jax.vmap(one)(xx, temps)
+
+        return f
+
+    t_div_h = timed(div_hand(None), x, reps=4)
+    print(f"div hand-jvp  batch={chains}: {t_div_h*1e3:8.2f} ms  ({t_div_nc/t_div_h:.2f}x vs nochunk)")
+    t_div_h8 = timed(div_hand(19), x, reps=4)
+    print(f"div hand c19  batch={chains}: {t_div_h8*1e3:8.2f} ms")
+
+    best_div = min(t_div, t_div_nc, t_div_f, t_div_h, t_div_h8)
     best_fwd = min(t_fwd, t_fwd_fused)
     full_cost = 400 * best_fwd / chains + 21 * best_div / chains
     print(

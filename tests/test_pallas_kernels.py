@@ -209,6 +209,43 @@ def test_dense_fused_divergence_matches_unfused():
     np.testing.assert_allclose(float(d_fused), float(d_ref), rtol=1e-3)
 
 
+@pytest.mark.parametrize("lane_chunk", [None, 5])
+def test_hand_jvp_divergence_matches_linearize(lane_chunk):
+    """ops/dense_divergence (hand-propagated lane-batched tangents) must
+    reproduce divergence_exact over apply_dense bit-for-tolerance."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.dense_divergence import dense_divergence
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (3, 6, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+
+    def v_dense(x):
+        return apply_dense(
+            model, params, x[None], jnp.array([0.5]), temps[:1],
+            template.atom_ids, template.edges,
+        )[0]
+
+    for i in range(3):
+        vel_ref, div_ref = divergence_exact(v_dense, xs[i])
+        vel, div = dense_divergence(
+            model, params, xs[i], jnp.asarray(0.5), temps[0],
+            template.atom_ids, template.edges, lane_chunk=lane_chunk,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vel), np.asarray(vel_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(float(div), float(div_ref), rtol=2e-4)
+
+
 def test_dense_forward_matches_model_apply():
     """Dense (N x N) pair formulation == vmap(model.apply), and its exact
     divergence matches too (it must serve the dlogp path)."""
@@ -250,3 +287,35 @@ def test_dense_forward_matches_model_apply():
     _, d1 = divergence_exact(v_edge, xs[0])
     _, d2 = divergence_exact(v_dense, xs[0])
     np.testing.assert_allclose(float(d2), float(d1), rtol=1e-3)
+
+
+@pytest.mark.parametrize("lanes_per_chunk", [4, 6])
+def test_divergence_kernel_matches_linearize(lanes_per_chunk):
+    """Whole-net divergence kernel (interpret mode) == divergence_exact."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.div_kernel import divergence_kernel_batch
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (3, 6, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+
+    def v_dense(x):
+        return apply_dense(
+            model, params, x[None], jnp.array([0.5]), temps[:1],
+            template.atom_ids, template.edges,
+        )[0]
+
+    refs = np.array([float(divergence_exact(v_dense, xs[i])[1]) for i in range(3)])
+    divs = divergence_kernel_batch(
+        model, params, xs, 0.5, temps, template,
+        lanes_per_chunk=lanes_per_chunk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(divs), refs, rtol=3e-4)

@@ -90,3 +90,84 @@ def test_chain_rng_independent_of_sharding(mesh):
         shard_batch(jnp.zeros((16,)), mesh)
     )
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=1e-6)
+
+
+def test_fanout_shard_slice_and_config():
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.parallel.fanout import shard_config, shard_slice
+
+    # contiguous, disjoint, exhaustive
+    slices = [shard_slice(10, i, 3) for i in range(3)]
+    assert slices == [(0, 4), (4, 7), (7, 10)]
+    cfg = MDQM9Config(seed=5, data_save_name="run")
+    c0 = shard_config(cfg, 0, 4)
+    c1 = shard_config(cfg, 1, 4)
+    assert c0.seed != c1.seed != cfg.seed
+    assert c0.data_save_name == "run_shard0of4"
+    assert shard_config(cfg, 0, 1) is cfg
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shard_slice(10, 3, 3)
+
+
+def test_fanout_merge_artifacts(tmp_path):
+    """Sharded sampling artifacts merge back to the unsharded layout,
+    including the ADW time-major 2-D case; a missing shard raises."""
+    from ti_tpu.parallel.fanout import merge_shards
+
+    d = tmp_path
+    # molecular-style: (n, n_save, N, 3) + 1-D dlogps... named differently
+    for i, n in enumerate((3, 2)):
+        np.save(d / f"samples_run_shard{i}of2.npy", np.full((n, 2, 4, 3), i, np.float32))
+        np.save(d / f"dlogps_run_shard{i}of2.npy", np.full((2, n), i, np.float32))  # ADW 2-D
+        np.save(d / f"latent_dlogps_run_shard{i}of2.npy", np.full((n,), i, np.float32))
+    merged = merge_shards(str(d), 2)
+    assert len(merged) == 3
+    s = np.load(d / "samples_run.npy")
+    assert s.shape == (5, 2, 4, 3) and s[0, 0, 0, 0] == 0 and s[4, 0, 0, 0] == 1
+    dl = np.load(d / "dlogps_run.npy")
+    assert dl.shape == (2, 5)  # ADW layout merged on the chain axis
+    ld = np.load(d / "latent_dlogps_run.npy")
+    assert ld.shape == (5,)
+
+    import pytest as _pytest
+
+    (d / "samples_run_shard1of2.npy").unlink()
+    with _pytest.raises(FileNotFoundError):
+        merge_shards(str(d), 2)
+
+
+def test_fanout_end_to_end_sampling(tmp_path):
+    """Two sharded sample_ambient runs + merge == artifact layout of one
+    unsharded run (shapes; disjoint RNG streams)."""
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.parallel.fanout import merge_shards, shard_config, shard_slice
+    from ti_tpu.sampling.drivers import sample_ambient
+
+    mol = make_synthetic_molecule(n_atoms=4, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    x0 = 0.2 * np.random.default_rng(0).standard_normal((8, 4, 3)).astype(np.float32)
+
+    cfg = MDQM9Config(
+        n_features=8, score_layers=1, batch_size=4, n_steps=4, solver_type="rk4",
+        data_save_path=str(tmp_path), data_save_name="fan",
+        sampling_T0=500, sampling_T1=400,
+    )
+    outs = []
+    for i in range(2):
+        lo, hi = shard_slice(len(x0), i, 2)
+        ci = shard_config(cfg, i, 2)
+        outs.append(sample_ambient(ci, model, params, template, x0[lo:hi]))
+    merge_shards(str(tmp_path), 2)
+    merged = np.load(tmp_path / "samples_fan.npy")
+    assert merged.shape[0] == 8
+    np.testing.assert_allclose(merged[:4], outs[0]["samples"])
+    np.testing.assert_allclose(merged[4:], outs[1]["samples"])
+    # different RNG streams per shard (hutchinson keys etc. must not repeat)
+    assert not np.allclose(np.load(tmp_path / "dlogps_fan.npy")[:4],
+                           np.load(tmp_path / "dlogps_fan.npy")[4:])

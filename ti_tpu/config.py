@@ -61,7 +61,10 @@ class ADWConfig:
     solver_type: str = "dopri5"  # or euler/heun/rk4
     divergence: str = "exact"
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
-    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; odd K = Simpson nodes
+    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
+    dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)
+    shard: int = 0  # multi-host fan-out (parallel/fanout.py)
+    num_shards: int = 1
     use_wandb: bool = False
     project_name: str = "adw-ti-tpu"
 
@@ -109,7 +112,10 @@ class MDQM9Config:
     solver_type: str = "dopri5"
     divergence: str = "exact"
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
-    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; odd K = Simpson nodes
+    dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
+    dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)
+    shard: int = 0  # multi-host fan-out (parallel/fanout.py)
+    num_shards: int = 1
     n_latent_samples: int = 10_000
     latent_traj_path: str = ""
     # io

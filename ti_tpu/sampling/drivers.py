@@ -468,6 +468,7 @@ def sample_adw(
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
+        dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
     )
 
     x0j = jnp.asarray(x0, jnp.float32)
@@ -490,6 +491,8 @@ def sample_adw(
         )
         os.makedirs(out_dir, exist_ok=True)
         tag = f"epoch_{cfg.sampling_epoch}"
+        if getattr(cfg, "num_shards", 1) > 1:  # fan-out (parallel/fanout.py)
+            tag += f"_shard{cfg.shard}of{cfg.num_shards}"
         np.save(os.path.join(out_dir, f"initial_samples_{tag}.npy"), out["initial_samples"])
         np.save(os.path.join(out_dir, f"samples_{tag}.npy"), out["samples"])
         if cfg.return_dlogp:
@@ -572,6 +575,7 @@ def sample_ambient(
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
+        dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
     )
 
     if latent_z is None:
@@ -651,6 +655,7 @@ def sample_latent(
         divergence=cfg.divergence,
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
+        dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
