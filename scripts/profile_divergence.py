@@ -30,37 +30,7 @@ from ti_tpu.ops.divergence import divergence_exact
 from ti_tpu.sampling.drivers import molecular_v_fn_of
 
 
-def measure_latency() -> float:
-    g = jax.jit(lambda x: x + 1.0)
-    a = jnp.zeros((8, 8))
-    float(jnp.sum(g(a)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(jnp.sum(g(a)))
-    return (time.perf_counter() - t0) / 5
-
-
-LAT = None
-
-
-def timed(fn, x, reps=8):
-    """fn(x, i) -> array; returns secs/rep via device-side scan + one read."""
-    global LAT
-    if LAT is None:
-        LAT = measure_latency()
-
-    @jax.jit
-    def loop(x0):
-        def body(acc, i):
-            return acc + jnp.sum(fn(x0, i)), None
-
-        acc, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(reps))
-        return acc
-
-    float(loop(x))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(x))
-    return (time.perf_counter() - t0 - LAT) / reps
+from ti_tpu.utils.timing import device_time as timed, host_round_trip_latency
 
 
 def main():
@@ -76,7 +46,7 @@ def main():
     temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (chains, 1))
     t = jnp.full((chains,), 0.5, jnp.float32)
 
-    print(f"round-trip latency: {measure_latency()*1e3:.1f} ms")
+    print(f"round-trip latency: {host_round_trip_latency()*1e3:.1f} ms")
 
     def fwd(fused):
         def f(xx, i):
@@ -86,9 +56,9 @@ def main():
             )
         return f
 
-    t_fwd = timed(fwd(False), x)
+    t_fwd = timed(fwd(False), x, reps=32)
     print(f"primal fwd    batch={chains}: {t_fwd*1e3:8.2f} ms  ({t_fwd/chains*1e6:7.1f} us/chain)")
-    t_fwd_fused = timed(fwd(True), x)
+    t_fwd_fused = timed(fwd(True), x, reps=16)
     print(f"primal fused  batch={chains}: {t_fwd_fused*1e3:8.2f} ms  ({t_fwd/t_fwd_fused:.2f}x vs unfused)")
 
     def div(impl, chunk):
@@ -131,11 +101,11 @@ def main():
 
     best_div = min(t_div, t_div_nc, t_div_f, t_div_h, t_div_h8)
     best_fwd = min(t_fwd, t_fwd_fused)
-    full_cost = 400 * best_fwd / chains + 21 * best_div / chains
+    full_cost = 400 * best_fwd / chains + 10 * best_div / chains  # GL-10 nodes
     print(
         f"\nimplied full-bench cost/sample (best paths): {full_cost*1e3:.1f} ms "
         f"-> {1/full_cost:.2f} samples/s/chip "
-        f"(traj {400*best_fwd/chains*1e3:.1f} ms, dlogp {21*best_div/chains*1e3:.1f} ms)"
+        f"(traj {400*best_fwd/chains*1e3:.1f} ms, dlogp {10*best_div/chains*1e3:.1f} ms)"
     )
 
 

@@ -117,3 +117,22 @@ def test_kabsch_improves_rmsd_on_noisy():
     before = float(jnp.sqrt(jnp.mean((x - target) ** 2)))
     after = float(jnp.sqrt(jnp.mean((kabsch_align(x, target) - target) ** 2)))
     assert after <= before
+
+
+def test_timing_utility():
+    """device_time returns a sane positive per-rep time; Stopwatch fences."""
+    import jax
+    import jax.numpy as jnp
+
+    from ti_tpu.utils.timing import Stopwatch, device_time
+
+    a = jnp.ones((64, 64))
+    t = device_time(lambda x, i: (x + i) @ x, a, reps=4)
+    assert t > 0
+
+    sw = Stopwatch()
+    with sw("mm"):
+        out = a @ a
+        sw.fence(out)
+    assert sw.times["mm"] > 0
+    assert "mm" in sw.report()

@@ -705,17 +705,44 @@ def sample_molecular_sde(
     n_save: int = 2,
 ):
     """Batched Euler–Maruyama transport (no dlogp); noise is COM-projected
-    to stay on the zero-COM manifold the GNN was trained on."""
-    v_of = molecular_v_fn_of(model, params, template)
+    to stay on the zero-COM manifold the GNN was trained on.
+
+    The drift is the dense-pair forward evaluated on the WHOLE chain batch
+    per step (one (C, N, 3) -> (C, N, 3) call) rather than a vmap of
+    per-chain closures — one big batched graph per step keeps the MLP rows
+    at C*N^2 and avoids per-chain RNG key trees. Returns (C, n_save, N, 3).
+    """
+    from ti_tpu.models.cpainn_dense import dense_velocity_fn
+
+    if n_save < 2 or n_steps % (n_save - 1) != 0:
+        raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
+    drift = dense_velocity_fn(model, params, template)
+    g = g_fn if callable(g_fn) else (lambda t, _g=float(g_fn): jnp.asarray(_g, jnp.float32))
+    dt = 1.0 / n_steps
+    sqrt_dt = float(np.sqrt(dt))
+    per_save = n_steps // (n_save - 1)
 
     @jax.jit
     def run(x0s, conds, k):
-        keys = jax.random.split(k, x0s.shape[0])
-        return jax.vmap(
-            lambda x, c, kk: sample_sde(
-                v_of(c), x, kk, g_fn=g_fn, n_steps=n_steps, n_save=n_save,
-                project_zero_mean=True,
-            )
-        )(x0s, conds, keys)
+        def step(x, i):
+            t = i * dt
+            noise = jax.random.normal(jax.random.fold_in(k, i), x.shape, x.dtype)
+            noise = noise - noise.mean(axis=1, keepdims=True)
+            dx = dt * drift(x, t, conds).astype(x.dtype) + g(t) * sqrt_dt * noise
+            return x + dx.astype(x.dtype), None
 
-    return run(x0, temps, key)
+        def save_block(x, block_idx):
+            x, _ = jax.lax.scan(
+                step, x, block_idx * per_save + jnp.arange(per_save, dtype=jnp.float32)
+            )
+            return x, x
+
+        _, xs_tail = jax.lax.scan(
+            save_block, x0s, jnp.arange(n_save - 1, dtype=jnp.float32)
+        )
+        # (n_save-1, C, N, 3) -> (C, n_save, N, 3) including x0
+        return jnp.concatenate(
+            [x0s[:, None], jnp.moveaxis(xs_tail, 0, 1)], axis=1
+        )
+
+    return run(jnp.asarray(x0), jnp.asarray(temps), key)
