@@ -146,3 +146,48 @@ def test_cv_koopman_runs():
     assert np.all(np.isfinite(s))
     # slowest mode ~ stationary eigenvalue 1
     np.testing.assert_allclose(np.real(d[:, -1]), 1.0, atol=0.1)
+
+
+def test_symbolic_basis_values_and_derivatives():
+    """SymbolicBasis == closed-form values/gradients/Hessians for a mixed
+    monomial/Gaussian/constant dictionary (reference Sym2numeric API,
+    gedmd/util.py:128-224)."""
+    import sympy
+
+    from ti_tpu.gedmd.symbolic import Sym2numeric, SymbolicBasis
+
+    x, y = sympy.symbols("x y")
+    psis = [sympy.Integer(1), x, x**2 * y, sympy.exp(-(x**2) - y**2)]
+    basis = SymbolicBasis(psis, [x, y], ndiff=2)
+    assert Sym2numeric is SymbolicBasis
+
+    pts = np.array([[0.3, -1.2, 0.0], [0.7, 0.4, -0.5]])  # (d=2, m=3)
+    xs, ys = pts
+
+    vals = basis(pts)
+    assert vals.shape == (4, 3)
+    np.testing.assert_allclose(vals[0], 1.0)
+    np.testing.assert_allclose(vals[1], xs, rtol=1e-6)
+    np.testing.assert_allclose(vals[2], xs**2 * ys, rtol=1e-6)
+    np.testing.assert_allclose(vals[3], np.exp(-(xs**2) - ys**2), rtol=1e-6)
+
+    grads = basis.diff(pts)
+    assert grads.shape == (4, 2, 3)
+    np.testing.assert_allclose(grads[0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(grads[1, 0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(grads[1, 1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(grads[2, 0], 2 * xs * ys, rtol=1e-5)
+    np.testing.assert_allclose(grads[2, 1], xs**2, rtol=1e-5)
+    g = np.exp(-(xs**2) - ys**2)
+    np.testing.assert_allclose(grads[3, 0], -2 * xs * g, rtol=1e-5, atol=1e-7)
+
+    hess = basis.ddiff(pts)
+    assert hess.shape == (4, 2, 2, 3)
+    np.testing.assert_allclose(hess[1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(hess[2, 0, 0], 2 * ys, rtol=1e-5)
+    np.testing.assert_allclose(hess[2, 0, 1], 2 * xs, rtol=1e-5)
+    np.testing.assert_allclose(hess[2, 1, 1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(
+        hess[3, 0, 0], (4 * xs**2 - 2) * g, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(hess[3, 0, 1], 4 * xs * ys * g, rtol=1e-5, atol=1e-7)
