@@ -118,6 +118,18 @@ def test_mdqm9_train_sample_results_cli(mdqm9_workspace):
     run(["scripts/mdqm9_sample_ambient.py", "--preset", "00031:300"] + common)
     assert (tmp / "out" / "samples_smoke.npy").exists()
     assert (tmp / "out" / "dlogps_smoke.npy").exists()
+    n_unsharded = len(np.load(tmp / "out" / "samples_smoke.npy"))
+
+    # multi-host fan-out over the same CLI, then merge back
+    (tmp / "out" / "samples_smoke.npy").unlink()
+    for i in ("0", "1"):
+        run(
+            ["scripts/mdqm9_sample_ambient.py", "--preset", "00031:300"]
+            + common + ["--shard", i, "--num_shards", "2"]
+        )
+    assert (tmp / "out" / "samples_smoke_shard1of2.npy").exists()
+    run(["scripts/merge_shards.py", str(tmp / "out"), "2"])
+    assert len(np.load(tmp / "out" / "samples_smoke.npy")) == n_unsharded
 
     r = run([
         "scripts/mdqm9_results.py", "--sdf", str(tmp / "mdqm9.sdf"),

@@ -449,6 +449,9 @@ def _div_kernel_run(model, params, xs, t, temps, atom_ids, etype, lanes_per_chun
         out_specs=[out_spec, out_spec, out_spec, out_spec],
         out_shape=[out_shape, out_shape, out_shape, out_shape],
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         s_layers, v_c[0], v_c[1], v_c[2], e_layers, pe, pe_prime, direc,
         geom,

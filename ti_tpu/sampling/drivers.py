@@ -590,16 +590,20 @@ def sample_ambient(
     os.makedirs(cfg.data_save_path, exist_ok=True) if save else None
     all_samples, all_dlogps, nfe = [], [], 0
     key = jax.random.PRNGKey(cfg.seed)
-    for i in range(0, n - n % bs, bs):
+    for i in range(0, n, bs):
         key, sub = jax.random.split(key)
-        sol = sampler(
-            jnp.asarray(x0[i : i + bs]), jnp.asarray(temps_full[i : i + bs]), sub
-        )
-        all_samples.append(np.asarray(sol.xs))  # (B, n_save, N, 3)
-        all_dlogps.append(np.asarray(sol.dlogp[:, -1]))  # final dlogp per chain
+        xb, tb = x0[i : i + bs], temps_full[i : i + bs]
+        take = len(xb)
+        if take < bs:  # pad the tail batch; same compiled sampler, slice back
+            pad = bs - take
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+            tb = np.concatenate([tb, np.repeat(tb[-1:], pad, axis=0)])
+        sol = sampler(jnp.asarray(xb), jnp.asarray(tb), sub)
+        all_samples.append(np.asarray(sol.xs)[:take])  # (B, n_save, N, 3)
+        all_dlogps.append(np.asarray(sol.dlogp[:take, -1]))  # final dlogp/chain
         nfe = max(nfe, int(np.max(np.asarray(sol.nfe))))
         if save:  # incremental checkpointing (sample_ambient.py:88-101)
-            _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp, i + bs)
+            _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp, i + take)
 
     samples = np.concatenate(all_samples, axis=0)
     dlogps = np.concatenate(all_dlogps, axis=0)
@@ -662,14 +666,15 @@ def sample_latent(
     all_samples, all_dlogps, nfe = [], [], 0
     if save:
         os.makedirs(cfg.data_save_path, exist_ok=True)
-    for i in range(0, n - n % bs, bs):
+    for i in range(0, n, bs):
+        take = min(bs, n - i)  # tail batch runs padded, sliced back
         key, zk, sk = jax.random.split(key, 3)
         z = jax.random.normal(zk, (bs, n_atoms, 3), dtype=jnp.float32)
         z = z - z.mean(axis=1, keepdims=True)
         temps = jnp.full((bs, n_temp_cond), float(cfg.sampling_T), dtype=jnp.float32)
         sol = sampler(z, temps, sk)
-        all_samples.append(np.asarray(sol.xs))
-        all_dlogps.append(np.asarray(sol.dlogp[:, -1]))
+        all_samples.append(np.asarray(sol.xs)[:take])
+        all_dlogps.append(np.asarray(sol.dlogp[:take, -1]))
         nfe = max(nfe, int(np.max(np.asarray(sol.nfe))))
         if save:
             name = cfg.data_save_name
