@@ -41,6 +41,10 @@ def main(argv):
                          "production value 100 is tuned for F=128 — smaller "
                          "models need a shorter scale for usable T contrast")
     ap.add_argument("--out_dir", default="/tmp/mdqm9_physics")
+    ap.add_argument("--eval_steps", type=lambda s: [int(v) for v in s.split(",")],
+                    default=[64], help="comma list; first = headline, rest = step study")
+    ap.add_argument("--quad_dlogp", action="store_true",
+                    help="use the bench's Gauss-Legendre-10 dlogp path")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,15 +87,25 @@ def main(argv):
           file=sys.stderr)
 
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
-    sampler = make_ode_sampler(
-        molecular_v_fn_of(res["model"], res["params"], res["template"]),
-        solver="rk4", n_steps=64, n_save=2, return_dlogp=True, divergence="exact",
-        steps_per_dispatch=16,
-    )
+    v_fn_of = molecular_v_fn_of(res["model"], res["params"], res["template"])
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
-    sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
-    x1 = np.asarray(sol.xs[:, -1])
-    dlogp = np.asarray(sol.dlogp[:, -1])
+
+    def transport(n_steps, quad):
+        sampler = make_ode_sampler(
+            v_fn_of, solver="rk4", n_steps=n_steps, n_save=2,
+            return_dlogp=True, divergence="exact", steps_per_dispatch=16,
+            dlogp_quad_points=(10 if quad else None),
+            dlogp_quad="gauss",
+        )
+        sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
+        return np.asarray(sol.xs[:, -1]), np.asarray(sol.dlogp[:, -1])
+
+    x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp)
+    # step-count study on the SAME trained field (bench-config GL-10 path):
+    # report the oracle error per step count (stderr; headline uses [0])
+    extra = {}
+    for ns in args.eval_steps[1:]:
+        extra[ns] = transport(ns, args.quad_dlogp)
 
     p_eq = (mol.positions - mol.positions.mean(0)).astype(np.float32)
     x1c = x1 - x1.mean(1, keepdims=True)
@@ -104,12 +118,28 @@ def main(argv):
     dF_est = float(-(mx + np.log(np.mean(np.exp(-phis - mx)))))
     dF_exact = float(-3 * (N - 1) * np.log(sigma(T1) / sigma(T0)))
 
+    def oracle_err(x1_a, dlogp_a):
+        x1c_a = x1_a - x1_a.mean(1, keepdims=True)
+        e1_a = np.sum((x1c_a - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T1) ** 2)
+        phis_a = e1_a - e0 + dlogp_a
+        mx_a = (-phis_a).max()
+        return abs(float(-(mx_a + np.log(np.mean(np.exp(-phis_a - mx_a))))) - dF_exact)
+
+    for ns, (x1_s, dlogp_s) in extra.items():
+        print(
+            f"[step-study] n_steps={ns}: dF_abs_err={oracle_err(x1_s, dlogp_s):.2e}, "
+            f"dlogp_mean_shift={float(np.mean(dlogp_s - dlogp)):.2e}",
+            file=sys.stderr,
+        )
+
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_start": sigma(T0),
         "dlogp_mean": float(dlogp.mean()),
         "dlogp_expected": float(3 * (N - 1) * np.log(sigma(T0) / sigma(T1))),
         "dF_est": dF_est, "dF_exact": dF_exact,
         "dF_abs_err": abs(dF_est - dF_exact),
+        "eval_steps": args.eval_steps[0],
+        "quad_dlogp": bool(args.quad_dlogp),
     }))
 
 

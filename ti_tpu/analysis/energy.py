@@ -12,8 +12,6 @@ artifact shapes. Reduced energies are E / (kB T) like the reference
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 KB_KJ_PER_MOL_K = 0.008314462618

@@ -11,7 +11,7 @@ eigensolve) instead of the deeptime dependency.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

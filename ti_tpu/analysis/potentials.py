@@ -15,7 +15,6 @@ import dataclasses
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

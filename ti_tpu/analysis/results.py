@@ -15,7 +15,7 @@ The per-metric 1000-iteration python bootstrap loops of the reference
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ instead of the reference's python re-run loop.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ti_tpu.models.cpainn import CPaiNN, MolGraph
 from ti_tpu.models.embeddings import positional_encoding, temperature_encoding
 from ti_tpu.ops.graph import EdgeTable
-from ti_tpu.ops.pallas_kernels import MLPWeights, _mlp_block, mlp_weights_from_flax
+from ti_tpu.ops.pallas_kernels import _mlp_block, mlp_weights_from_flax
 
 Array = jax.Array
 

@@ -15,8 +15,6 @@ model.apply is asserted in tests/test_pallas_kernels.py.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

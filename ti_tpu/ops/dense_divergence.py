@@ -35,7 +35,6 @@ from ti_tpu.models.cpainn_dense import dense_edge_type_matrix
 from ti_tpu.models.embeddings import positional_encoding, temperature_encoding
 from ti_tpu.ops.graph import EdgeTable
 from ti_tpu.ops.pallas_kernels import (
-    MLPWeights,
     _mlp_block,
     _mlp_block_jvp,
     mlp_weights_from_flax,

@@ -26,13 +26,12 @@ from __future__ import annotations
 import dataclasses
 import glob
 import os
-import re
+
 from typing import Dict, List, Tuple
 
 import numpy as np
 
 _SEED_STRIDE = 7919  # large odd stride keeps per-shard PRNG streams apart
-
 
 def shard_slice(n: int, shard: int, num_shards: int) -> Tuple[int, int]:
     """Contiguous [start, stop) of a length-n workload for this shard."""
@@ -42,7 +41,6 @@ def shard_slice(n: int, shard: int, num_shards: int) -> Tuple[int, int]:
     start = shard * base + min(shard, rem)
     stop = start + base + (1 if shard < rem else 0)
     return start, stop
-
 
 def shard_config(cfg, shard: int, num_shards: int):
     """Per-shard copy of a sampling config (no-op when num_shards == 1).
@@ -63,7 +61,6 @@ def shard_config(cfg, shard: int, num_shards: int):
     if hasattr(cfg, "data_save_name"):
         kwargs["data_save_name"] = f"{cfg.data_save_name}_shard{shard}of{num_shards}"
     return dataclasses.replace(cfg, **kwargs)
-
 
 def merge_shards(
     data_dir: str, num_shards: int, delete: bool = False

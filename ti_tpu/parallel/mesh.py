@@ -19,7 +19,7 @@ component, not a port. Design (per SURVEY.md §2.3/§5.8):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ti_tpu.config import ADWConfig, MDQM9Config
 from ti_tpu.models.cpainn import MolGraph
-from ti_tpu.sampling.integrators import ODESolution, sample_ode, sample_ode_dopri5, sample_sde
+from ti_tpu.sampling.integrators import ODESolution, sample_ode, sample_ode_dopri5
 
 Array = jax.Array
 

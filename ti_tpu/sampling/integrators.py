@@ -33,7 +33,7 @@ reference's reverse_ode (-b, +div) convention (ode_wrapper.py:49).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 

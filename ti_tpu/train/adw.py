@@ -12,7 +12,6 @@ Structural differences from the reference:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, Dict, Optional
 
