@@ -5,12 +5,17 @@ reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
 dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 (19 atoms, cPaiNN F=128 x 5 layers).
 
-value        = TPU-first path: fixed-step RK4(~100) trajectory + the
-               quadrature-decoupled exact dlogp (Gauss-Legendre over 10
-               divergence nodes; accuracy vs the stage-coupled dlogp
-               quantified in tests/test_adw_physics.py — GL-10 sits at the
-               same trajectory-limited error floor as Simpson-21/33),
-               vmapped over a chain batch.
+value        = TPU-first path: fixed-step RK4(~32) trajectory + the
+               quadrature-decoupled exact dlogp (Gauss-Legendre over 8
+               divergence nodes), vmapped over a chain batch. Accuracy
+               evidence: GL-10 sits at the same trajectory-limited error
+               floor as Simpson-21/33 on the trained ADW field
+               (tests/test_adw_physics.py), and the molecular TFEP oracle
+               error is flat (2.05-2.09e-2, its statistical floor) from
+               100 down to 16 RK4 steps with dlogp mean shifts ~1e-4
+               (scripts/validate_mdqm9_physics.py --eval_steps); dopri5
+               @1e-5 itself needs ~1022 NFE for the same global accuracy
+               (scripts/step_count_study.py).
 vs_baseline  = value / (reference-algorithm shape on the SAME chip):
                adaptive dopri5 at atol=rtol=1e-5 (the reference's solver
                settings, 00031_settings_no_300.json:34-36) at the
@@ -83,9 +88,9 @@ def main(quick: bool = False):
     chains = 32 if quick else 64
     reps = 1
     opt_sampler = make_ode_sampler(
-        v_fn_of, solver="rk4", n_steps=20 if quick else 100, n_save=2,
+        v_fn_of, solver="rk4", n_steps=20 if quick else 32, n_save=2,
         return_dlogp=True, divergence="exact", steps_per_dispatch=25,
-        dlogp_quad_points=4 if quick else 10, dlogp_quad="gauss",
+        dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
     )
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
     print(f"[bench] optimized rk4+quad-dlogp: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)

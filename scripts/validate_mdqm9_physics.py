@@ -44,7 +44,8 @@ def main(argv):
     ap.add_argument("--eval_steps", type=lambda s: [int(v) for v in s.split(",")],
                     default=[64], help="comma list; first = headline, rest = step study")
     ap.add_argument("--quad_dlogp", action="store_true",
-                    help="use the bench's Gauss-Legendre-10 dlogp path")
+                    help="use the bench's Gauss-Legendre dlogp path")
+    ap.add_argument("--gl_points", type=int, default=10)
     args = ap.parse_args(argv)
 
     import jax
@@ -94,7 +95,7 @@ def main(argv):
         sampler = make_ode_sampler(
             v_fn_of, solver="rk4", n_steps=n_steps, n_save=2,
             return_dlogp=True, divergence="exact", steps_per_dispatch=16,
-            dlogp_quad_points=(10 if quad else None),
+            dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss",
         )
         sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
