@@ -138,6 +138,56 @@ def test_fanout_merge_artifacts(tmp_path):
         merge_shards(str(d), 2)
 
 
+def test_fanout_driver_launch_and_merge(tmp_path):
+    """scripts/fanout_driver.py: spawns one process per shard (appending
+    --shard/--num_shards), streams logs, merges; a failing shard aborts the
+    merge with per-shard diagnostics."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stub = tmp_path / "stub_sampler.py"
+    stub.write_text(
+        "import argparse, os, sys\n"
+        "import numpy as np\n"
+        "ap = argparse.ArgumentParser()\n"
+        "ap.add_argument('--out', required=True)\n"
+        "ap.add_argument('--fail_shard', type=int, default=-1)\n"
+        "ap.add_argument('--shard', type=int, required=True)\n"
+        "ap.add_argument('--num_shards', type=int, required=True)\n"
+        "a = ap.parse_args()\n"
+        "if a.shard == a.fail_shard:\n"
+        "    print('boom'); sys.exit(3)\n"
+        "print('env marker:', os.environ.get('TI_FANOUT_TEST'))\n"
+        "# ADW time-major layout (n_save, n_chains): chain axis is 1\n"
+        "np.save(os.path.join(a.out, f'samples_run_shard{a.shard}of{a.num_shards}.npy'),\n"
+        "        np.full((2, a.shard + 1), a.shard, np.float32))\n"
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def drive(extra):
+        return subprocess.run(
+            [sys.executable, "scripts/fanout_driver.py", "--num_shards", "3",
+             "--data_dir", str(out), "--env", "TI_FANOUT_TEST=yes", "--max_parallel", "2",
+             "--", sys.executable, str(stub), "--out", str(out)] + extra,
+            cwd=repo, capture_output=True, text=True, timeout=120,
+        )
+
+    r = drive([])
+    assert r.returncode == 0, r.stdout + r.stderr
+    merged = np.load(out / "samples_run.npy")
+    assert merged.shape == (2, 6)
+    np.testing.assert_array_equal(merged[0], [0, 1, 1, 2, 2, 2])
+    log = (out / "fanout_logs" / "shard_2.log").read_text()
+    assert "env marker: yes" in log
+
+    r = drive(["--fail_shard", "1"])
+    assert r.returncode == 1
+    assert "FAILED shard 1" in r.stderr
+
+
 def test_fanout_end_to_end_sampling(tmp_path):
     """Two sharded sample_ambient runs + merge == artifact layout of one
     unsharded run (shapes; disjoint RNG streams)."""

@@ -1,0 +1,57 @@
+"""Offline jax.profiler trace summary (utils/profiling.py, SURVEY.md §5.1)."""
+
+import subprocess
+import sys
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ti_tpu.utils.profiling import (
+    find_trace_file,
+    load_trace,
+    summarize,
+    summarize_lanes,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _capture_trace(logdir):
+    with jax.profiler.trace(str(logdir)):
+        x = jnp.ones((256, 256))
+        y = x
+        for _ in range(3):
+            y = jnp.tanh(y @ x)
+        y.block_until_ready()
+
+
+def test_trace_summary_end_to_end(tmp_path):
+    _capture_trace(tmp_path)
+    path = find_trace_file(str(tmp_path))
+    assert path.endswith(".trace.json.gz")
+
+    lanes = summarize_lanes(load_trace(str(tmp_path)))
+    assert lanes, "no timeline lanes parsed"
+    # the XLA executor lane must show the matmul with a sane aggregate
+    all_ops = {o.name: o for l in lanes for o in l.ops}
+    dots = [o for n, o in all_ops.items() if "dot" in n.lower()]
+    assert dots and dots[0].count >= 1 and dots[0].total_us > 0
+    assert dots[0].avg_us == dots[0].total_us / dots[0].count
+
+    text = summarize(str(tmp_path), top=5)
+    assert "busy over" in text and "dot" in text.lower()
+    # lane filter narrows the report
+    filtered = summarize(str(tmp_path), top=5, lane_filter="no-such-lane")
+    assert filtered.strip() == ""
+
+
+def test_profile_summary_cli(tmp_path):
+    _capture_trace(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "scripts/profile_summary.py", str(tmp_path), "--top", "3"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "busy over" in r.stdout
