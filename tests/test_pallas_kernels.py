@@ -319,3 +319,43 @@ def test_divergence_kernel_matches_linearize(lanes_per_chunk):
         lanes_per_chunk=lanes_per_chunk, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(divs), refs, rtol=3e-4)
+
+
+def test_bf16_compute_dtype_parity():
+    """apply_dense(compute_dtype=bf16): f32 params/IO, bf16 pair-grid
+    compute — forward and exact divergence stay within bf16-roundoff of the
+    full-precision path (the mixed-precision profile for the HBM-bound
+    divergence tangents, BASELINE.md)."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=9, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=32, score_layers=3, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (4, 9, 3))
+    t = jnp.full((4,), 0.5)
+    temps = jnp.tile(jnp.array([1000.0, 300.0]), (4, 1))
+
+    y32 = apply_dense(model, params, xs, t, temps, template.atom_ids, template.edges)
+    y16 = apply_dense(
+        model, params, xs, t, temps, template.atom_ids, template.edges,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert y16.dtype == y32.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(y32 - y16) / jnp.linalg.norm(y32))
+    assert rel < 0.05, rel
+
+    def v_of(cd):
+        def g(y):
+            return apply_dense(
+                model, params, y[None], t[:1], temps[:1],
+                template.atom_ids, template.edges, compute_dtype=cd,
+            )[0]
+        return g
+
+    d32 = float(divergence_exact(v_of(None), xs[0])[1])
+    d16 = float(divergence_exact(v_of(jnp.bfloat16), xs[0])[1])
+    assert abs(d32 - d16) / abs(d32) < 0.03, (d32, d16)

@@ -54,6 +54,7 @@ def apply_dense(
     fused: bool = False,
     tile: int = 128,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> Array:
     """Batched velocity field, dense-pair layout: (B, N, 3) -> (B, N, 3).
 
@@ -62,13 +63,26 @@ def apply_dense(
     (ops/pallas_kernels.fused_edge_mlp_diff): forward AND the exact-
     divergence tangent lanes keep all MLP intermediates in VMEM. Forward-
     mode only — reverse-mode (training) must use fused=False.
+
+    ``compute_dtype=jnp.bfloat16`` runs the pair-grid compute (MLP rows,
+    message/feature tensors, einsum inputs) in bf16 with f32 dot
+    accumulation; params, positions, embeddings and the returned velocity
+    stay f32. This halves the HBM traffic of the (B, N, N, 5F)
+    intermediates — and, because ``jax.linearize`` of this function emits
+    bf16 residuals/tangents, of the 3N-lane exact-divergence pass, which is
+    HBM-bound (BASELINE.md). Accuracy impact is quantified in
+    tests/test_pallas_kernels.py and the physics oracles.
     """
     p = params["params"]
     f = model.n_features
     b, n, _ = x.shape
+    cd = compute_dtype
+
+    def c(a):  # cast to the compute dtype (no-op in full precision)
+        return a.astype(cd) if cd is not None else a
 
     def mlp(rows, subtree):
-        return _mlp_block(rows, mlp_weights_from_flax(subtree))
+        return _mlp_block(c(rows), mlp_weights_from_flax(subtree), compute_dtype=cd)
 
     if fused:
         from ti_tpu.ops.pallas_kernels import fused_edge_mlp_diff
@@ -93,11 +107,11 @@ def apply_dense(
     r = x[:, None, :, :] - x[:, :, None, :]  # (B, N(dst), N(src), 3)
     dist = jnp.linalg.norm(r + jnp.eye(n)[None, :, :, None], axis=-1)  # keep diag finite
     dist = dist * (1.0 - jnp.eye(n))[None]
-    direc = r / (1.0 + dist[..., None])
-    mask = (1.0 - jnp.eye(n, dtype=x.dtype))[None, :, :, None]  # (1, N, N, 1)
+    direc = c(r / (1.0 + dist[..., None]))
+    mask = c((1.0 - jnp.eye(n, dtype=x.dtype))[None, :, :, None])  # (1, N, N, 1)
 
     etype = jnp.asarray(dense_edge_type_matrix(edges))
-    e = jnp.broadcast_to(p["edge_embed"]["embedding"][etype], (b, n, n, f))
+    e = c(jnp.broadcast_to(p["edge_embed"]["embedding"][etype], (b, n, n, f)))
 
     feats = [jnp.broadcast_to(p["atom_embed"]["embedding"][atom_ids], (b, n, f))]
     if model.conditioning == "ambient":
@@ -110,17 +124,17 @@ def apply_dense(
     t_enc = positional_encoding(t, f, model.time_length)
     feats.append(jnp.broadcast_to(t_enc[:, None, :], (b, n, f)))
 
-    s = mlp(jnp.concatenate(feats, axis=-1), p["combine"])  # (B, N, F)
-    v = jnp.zeros((b, n, f, 3), dtype=x.dtype)
+    s = c(mlp(jnp.concatenate(feats, axis=-1), p["combine"]))  # (B, N, F)
+    v = jnp.zeros((b, n, f, 3), dtype=cd or x.dtype)
 
-    pe = positional_encoding(dist, f, model.length_scale)  # (B, N, N, F)
+    pe = c(positional_encoding(dist, f, model.length_scale))  # (B, N, N, F)
 
     for layer in range(model.score_layers):
         mp = p[f"message_{layer}"]
         # in_features[i, j] = [s[j], e[i, j]]
         s_src = jnp.broadcast_to(s[:, None, :, :], (b, n, n, f))
         in_feats = jnp.concatenate([s_src, e], axis=-1)
-        h = message_mlps(in_feats, pe, mp)  # (B, N, N, 5F)
+        h = c(message_mlps(in_feats, pe, mp))  # (B, N, N, 5F)
         gates, scale_dir, ds, de, cg = jnp.split(h * mask, 5, axis=-1)
 
         dv = (
@@ -128,7 +142,7 @@ def apply_dense(
             + jnp.einsum("bijf,bijc->bifc", scale_dir, direc)
             + jnp.cross(jnp.einsum("bijf,bijc->bifc", cg, direc), v)
         )
-        s = s + jnp.sum(ds, axis=2)
+        s = s + c(jnp.sum(ds, axis=2, dtype=jnp.float32))
         v = v + dv
         # de is diagonal-masked; off-diagonal (real-edge) updates are exact
         # and the diagonal entries are never consumed (their h rows are
@@ -136,18 +150,20 @@ def apply_dense(
         e = e + de
 
         up = p[f"update_{layer}"]
-        uv = jnp.einsum("bnfc,fg->bngc", v, up["u"]["kernel"])
-        vv = jnp.einsum("bnfc,fg->bngc", v, up["v"]["kernel"])
-        vv_norm = jnp.linalg.norm(vv, axis=-1)
-        hu = mlp(jnp.concatenate([vv_norm, s], axis=-1), up["mlp"])
-        g_u, scale_sq, add_inv = jnp.split(hu, 3, axis=-1)
+        uv = jnp.einsum("bnfc,fg->bngc", v, c(up["u"]["kernel"]))
+        vv = jnp.einsum("bnfc,fg->bngc", v, c(up["v"]["kernel"]))
+        vv_norm = jnp.linalg.norm(vv.astype(jnp.float32), axis=-1)
+        hu = mlp(jnp.concatenate([c(vv_norm), s], axis=-1), up["mlp"])
+        g_u, scale_sq, add_inv = jnp.split(c(hu), 3, axis=-1)
         v = v + g_u[..., None] * uv
-        s = s + vv_norm**2 * scale_sq + add_inv
+        s = s + c(vv_norm**2 * scale_sq.astype(jnp.float32) + add_inv.astype(jnp.float32))
 
     ro = p["readout"]
     hr = mlp(s, ro["mlp"])  # (B, N, 2)
-    v_out = jnp.einsum("bnfc,fg->bngc", v, ro["V"]["kernel"])
-    return hr[..., 1:2, None][:, :, 0] * v_out[:, :, 0, :]
+    v_out = jnp.einsum("bnfc,fg->bngc", v, c(ro["V"]["kernel"]))
+    return (hr[..., 1:2, None][:, :, 0] * v_out[:, :, 0, :].astype(jnp.float32)).astype(
+        x.dtype
+    )
 
 
 def dense_velocity_fn(model: CPaiNN, params, template: MolGraph):

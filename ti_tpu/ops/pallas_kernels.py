@@ -54,19 +54,31 @@ def mlp_weights_from_flax(p) -> MLPWeights:
     )
 
 
-def _mlp_block(x, w: MLPWeights):
-    """The MLP body on a VMEM tile (shared by kernel and reference)."""
-    h = jnp.dot(x, w.w1, preferred_element_type=jnp.float32) + w.b1
+def _mlp_block(x, w: MLPWeights, compute_dtype=None):
+    """The MLP body on a VMEM tile (shared by kernel and reference).
+
+    ``compute_dtype=jnp.bfloat16`` feeds the three matmuls bf16 operands
+    (params are cast at the dot, activations once after each LN+SiLU) while
+    every dot still accumulates into f32 (``preferred_element_type``) and
+    the LayerNorm statistics stay f32. This is the mixed-precision profile
+    for the HBM-bound divergence tangents (see models/cpainn_dense.py).
+    """
+    cd = compute_dtype
+
+    def c(a):
+        return a.astype(cd) if cd is not None else a
+
+    h = jnp.dot(c(x), c(w.w1), preferred_element_type=jnp.float32) + w.b1
     mu = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
     h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * w.ln1_scale + w.ln1_bias
     h = jax.nn.silu(h)
-    h = jnp.dot(h, w.w2, preferred_element_type=jnp.float32) + w.b2
+    h = jnp.dot(c(h), c(w.w2), preferred_element_type=jnp.float32) + w.b2
     mu = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
     h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * w.ln2_scale + w.ln2_bias
     h = jax.nn.silu(h)
-    return jnp.dot(h, w.w3, preferred_element_type=jnp.float32) + w.b3
+    return jnp.dot(c(h), c(w.w3), preferred_element_type=jnp.float32) + w.b3
 
 
 def fused_edge_mlp_reference(in_feat: Array, pe: Array, phi: MLPWeights, w: MLPWeights) -> Array:

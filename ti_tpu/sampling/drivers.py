@@ -504,7 +504,9 @@ def sample_adw(
 # MDQM9 ambient (reference mdqm9/sample_ambient.py:18-121)
 # ---------------------------------------------------------------------------
 
-def molecular_v_fn_of(model, params, template: MolGraph, impl: str = "dense"):
+def molecular_v_fn_of(
+    model, params, template: MolGraph, impl: str = "dense", compute_dtype=None
+):
     """Per-chain velocity closure builder for molecular transport.
 
     impl="dense" (default) uses the gather-free dense-pair forward
@@ -525,6 +527,7 @@ def molecular_v_fn_of(model, params, template: MolGraph, impl: str = "dense"):
                 return apply_dense(
                     model, params, x[None], jnp.asarray(t)[None], temps[None],
                     template.atom_ids, template.edges, fused=fused,
+                    compute_dtype=compute_dtype,
                 )[0]
 
             return v
