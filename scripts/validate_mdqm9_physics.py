@@ -46,6 +46,9 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
+    ap.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                    help="sampling-path compute dtype (bf16 = mixed-precision "
+                         "pair-grid compute, ROADMAP item 2; training stays f32)")
     args = ap.parse_args(argv)
 
     import jax
@@ -88,7 +91,10 @@ def main(argv):
           file=sys.stderr)
 
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
-    v_fn_of = molecular_v_fn_of(res["model"], res["params"], res["template"])
+    v_fn_of = molecular_v_fn_of(
+        res["model"], res["params"], res["template"],
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
+    )
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
 
     def transport(n_steps, quad):

@@ -83,6 +83,15 @@ def test_adw_train_sample_reweight_cli(adw_workspace):
     ])
     assert "lambda_2" in r.stdout
     assert (tmp / "gedmd.npz").exists()
+    # direct Boltzmann-reweighting baseline (dir_reweight_gedmd.py parity):
+    # consumes only the initial samples, no transport artifacts
+    r = run([
+        "scripts/adw_reweight_gedmd.py", "--data_dir", str(tmp / "out" / "velocity"),
+        "--epoch", "1", "--betas", "1.25", "--n_bootstrap", "20",
+        "--p", "20", "--direct", "--out", str(tmp / "gedmd_direct.npz"),
+    ])
+    assert "lambda_2" in r.stdout
+    assert (tmp / "gedmd_direct.npz").exists()
 
 
 @pytest.fixture(scope="module")

@@ -55,3 +55,41 @@ def test_plot_tica_writes_file(tmp_path):
     out = tmp_path / "tica.png"
     plot_tica(md, gen, lag=5, out_path=str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_mdqm9_plots_cli(tmp_path):
+    """scripts/mdqm9_plots.py renders marginals + TICA from results arrays,
+    with reweighting from sampling/energy artifacts."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(5)
+    res = tmp_path / "results"
+    res.mkdir()
+    n = 400
+    for tag, m in (("run", n), ("md", 800)):
+        np.save(res / f"torsions_{tag}.npy", rng.uniform(-np.pi, np.pi, (m, 3)))
+        np.save(res / f"bond_angles_{tag}.npy", rng.uniform(1.5, 2.2, (m, 3)))
+        np.save(res / f"bond_lengths_{tag}.npy", rng.uniform(1.0, 1.6, (m, 4)))
+    data = tmp_path / "out"
+    energies = tmp_path / "energies"
+    data.mkdir(), energies.mkdir()
+    np.save(data / "dlogps_run.npy", rng.standard_normal(n))
+    np.save(energies / "E0s_run.npy", rng.standard_normal(n))
+    np.save(energies / "E1s_run.npy", rng.standard_normal(n))
+
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py", "--results_dir", str(res),
+         "--tag", "run", "--ref_tag", "md", "--data_dir", str(data),
+         "--energy_dir", str(energies), "--lag", "5",
+         "--out", str(tmp_path / "figs")],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    for kind in ("torsions", "bond_angles", "bond_lengths", "tica"):
+        p = tmp_path / "figs" / f"{kind}_run.png"
+        assert p.exists() and p.stat().st_size > 1000, p
+    assert "reweighting with" in r.stdout
