@@ -164,3 +164,46 @@ def test_mdqm9_latent_cli(mdqm9_workspace):
     run(["scripts/mdqm9_train_latent.py", "--preset", "00031:800"] + common)
     run(["scripts/mdqm9_sample_latent.py", "--preset", "00031:800"] + common)
     assert (tmp / "outl" / "samples_smokel_forward.npy").exists()
+
+
+def test_model_selection_cli(tmp_path):
+    """VAMP-CV hyperparameter scan CLI: ADW-artifact and torsions modes."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "velocity" / "beta_1.0_to_1.25"
+    os.makedirs(d)
+    # OU-ish 1-D trajectory as the (n_save, n) ADW samples layout
+    x = np.zeros(4000)
+    for i in range(1, len(x)):
+        x[i] = 0.95 * x[i - 1] + 0.3 * rng.standard_normal()
+    np.save(d / "samples_epoch_1.npy", np.stack([x, x]))
+
+    r = run([
+        "scripts/model_selection.py", "--adw_dir", str(tmp_path / "velocity"),
+        "--epoch", "1", "--beta", "1.25", "--sigmas", "0.3", "0.6",
+        "--ps", "20", "40", "--ntest", "3", "--out", str(tmp_path / "scan.npz"),
+    ])
+    assert "best by mean VAMP score" in r.stdout
+    scan = np.load(tmp_path / "scan.npz")
+    assert scan["VAMP"].shape == (2, 2, 3)
+
+    tors = rng.uniform(-np.pi, np.pi, (500, 3))
+    np.save(tmp_path / "torsions_run.npy", tors)
+    r = run([
+        "scripts/model_selection.py", "--torsions", str(tmp_path / "torsions_run.npy"),
+        "--T", "300", "--sigmas", "3.0", "--ps", "20", "--ntest", "2",
+        "--out", str(tmp_path / "scan2.npz"),
+    ])
+    assert "best by mean VAMP score: sigma=3.0, p=20" in r.stdout
+
+
+def test_eval_energy_cli_gated(tmp_path):
+    """Without OpenMM the energy CLI exits 2 with env instructions (the
+    reference's separate-conda-env decoupling, ti_energy_env.yml)."""
+    r = subprocess.run(
+        [sys.executable, "scripts/eval_energy.py", "--sdf", "x.sdf",
+         "--mol_index", "0", "--data_dir", str(tmp_path), "--tag", "t",
+         "--T0", "1000", "--T1", "300", "--charges", "c.npy"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 2, (r.returncode, r.stdout, r.stderr)
+    assert "dedicated energy environment" in r.stderr
