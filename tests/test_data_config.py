@@ -150,3 +150,17 @@ def test_config_roundtrip(tmp_path):
 
     with pytest.raises(KeyError):
         load_config(out, nonexistent_key=1)
+
+
+def test_compute_dtype_config_mapping():
+    import jax.numpy as jnp
+
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.sampling.drivers import _compute_dtype
+
+    assert _compute_dtype(MDQM9Config()) is None
+    assert _compute_dtype(MDQM9Config(compute_dtype="bf16")) is jnp.bfloat16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _compute_dtype(MDQM9Config(compute_dtype="fp8"))

@@ -111,6 +111,7 @@ class MDQM9Config:
     n_steps: int = 100
     solver_type: str = "dopri5"
     divergence: str = "exact"
+    compute_dtype: str = "f32"  # or "bf16": mixed-precision sampling path
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
     dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)

@@ -26,6 +26,18 @@ from ti_tpu.sampling.integrators import ODESolution, sample_ode, sample_ode_dopr
 Array = jax.Array
 
 
+def _compute_dtype(cfg):
+    """Map the config's compute_dtype string to a jnp dtype (None = f32
+    default). bf16 is the opt-in mixed-precision sampling path
+    (models/cpainn_dense.apply_dense; ROADMAP item 2)."""
+    name = getattr(cfg, "compute_dtype", "f32")
+    if name in ("f32", "float32", ""):
+        return None
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r} (use f32 or bf16)")
+
+
 def make_ode_sampler(
     v_fn_of: Callable,
     *,
@@ -568,7 +580,7 @@ def sample_ambient(
     n_save = cfg.n_steps if cfg.solver_type == "dopri5" else max(2, cfg.n_steps // 50 + 1)
 
     sampler = make_ode_sampler(
-        molecular_v_fn_of(model, params, template),
+        molecular_v_fn_of(model, params, template, compute_dtype=_compute_dtype(cfg)),
         solver=cfg.solver_type,
         n_steps=cfg.n_steps,
         n_save=n_save,
@@ -652,7 +664,7 @@ def sample_latent(
     n_temp_cond = template.temps.shape[0]
 
     sampler = make_ode_sampler(
-        molecular_v_fn_of(model, params, template),
+        molecular_v_fn_of(model, params, template, compute_dtype=_compute_dtype(cfg)),
         solver=cfg.solver_type,
         n_steps=cfg.n_steps,
         n_save=n_save,
