@@ -7,7 +7,9 @@ dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 
 value        = TPU-first path: fixed-step RK4(~32) trajectory + the
                quadrature-decoupled exact dlogp (Gauss-Legendre over 8
-               divergence nodes), vmapped over a chain batch. Accuracy
+               divergence nodes), bf16 mixed-precision compute (params
+               f32, f32 dot accumulation — physics-qualified, see
+               BASELINE.md), vmapped over a chain batch. Accuracy
                evidence: GL-10 sits at the same trajectory-limited error
                floor as Simpson-21/33 on the trained ADW field
                (tests/test_adw_physics.py), and the molecular TFEP oracle
@@ -52,7 +54,12 @@ def main(quick: bool = False):
     model = CPaiNN(n_features=128, score_layers=5, temp_length=100.0, conditioning="ambient")
     params = model.init(jax.random.PRNGKey(0), template)
 
-    v_fn_of = molecular_v_fn_of(model, params, template)  # dense-pair impl
+    # dense-pair impl, bf16 mixed-precision compute (params f32, f32 dot
+    # accumulation): physics-qualified on a trained field — dF oracle error
+    # 8.7e-3 bf16 vs 8.3e-3 f32 (same statistical floor), dlogp rms shift
+    # 3e-3 (scripts/validate_mdqm9_physics.py --compute_dtype both); 1.20x
+    # on the divergence node (ROADMAP item 2, BASELINE.md)
+    v_fn_of = molecular_v_fn_of(model, params, template, compute_dtype=jnp.bfloat16)
     # reference-shape denominator keeps the reference's per-edge
     # gather/scatter formulation (impl="edge")
     v_fn_of_edge = molecular_v_fn_of(model, params, template, impl="edge")

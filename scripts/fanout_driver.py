@@ -24,6 +24,7 @@ import argparse
 import os
 import subprocess
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -87,7 +88,10 @@ def main(argv=None):
                 )
             done = [i for i, (p, _) in running.items() if p.poll() is not None]
             if not done:
-                next(iter(running.values()))[0].wait()
+                # poll rather than wait on any single child: with
+                # max_parallel < num_shards a freed slot must refill as soon
+                # as ANY shard exits, not a specific one
+                time.sleep(0.2)
                 continue
             for i in done:
                 p, log = running.pop(i)

@@ -54,8 +54,10 @@ def main(argv=None):
         dlogps = arr(args.data_dir, "dlogps", args.tag)
         e0 = arr(args.energy_dir, "E0s", args.tag)
         e1 = arr(args.energy_dir, "E1s", args.tag)
-        weights = weights_filter_iqr(calc_ti_weights(e0, e1, dlogps))
-        print(f"reweighting with {np.count_nonzero(weights)} / {len(weights)} "
+        w = calc_ti_weights(e0, e1, dlogps)
+        keep = weights_filter_iqr(w)  # boolean IQR mask over the weights
+        weights = np.where(keep, w, 0.0)
+        print(f"reweighting with {np.count_nonzero(keep)} / {len(w)} "
               "IQR-kept weights")
 
     written = []

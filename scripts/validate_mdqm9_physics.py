@@ -46,9 +46,11 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
-    ap.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+    ap.add_argument("--compute_dtype", choices=["f32", "bf16", "both"], default="f32",
                     help="sampling-path compute dtype (bf16 = mixed-precision "
-                         "pair-grid compute, ROADMAP item 2; training stays f32)")
+                         "pair-grid compute, ROADMAP item 2; training stays "
+                         "f32). 'both' evaluates f32 AND bf16 transport on the "
+                         "same trained field and reports both oracle errors")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,15 +93,18 @@ def main(argv):
           file=sys.stderr)
 
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
-    v_fn_of = molecular_v_fn_of(
-        res["model"], res["params"], res["template"],
-        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
-    )
+
+    def v_fn_of_dtype(name):
+        return molecular_v_fn_of(
+            res["model"], res["params"], res["template"],
+            compute_dtype=jnp.bfloat16 if name == "bf16" else None,
+        )
+
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
 
-    def transport(n_steps, quad):
+    def transport(n_steps, quad, dtype_name="f32"):
         sampler = make_ode_sampler(
-            v_fn_of, solver="rk4", n_steps=n_steps, n_save=2,
+            v_fn_of_dtype(dtype_name), solver="rk4", n_steps=n_steps, n_save=2,
             return_dlogp=True, divergence="exact", steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss",
@@ -107,12 +112,13 @@ def main(argv):
         sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
         return np.asarray(sol.xs[:, -1]), np.asarray(sol.dlogp[:, -1])
 
-    x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp)
+    headline_dtype = "bf16" if args.compute_dtype == "bf16" else "f32"
+    x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp, headline_dtype)
     # step-count study on the SAME trained field (bench-config GL-10 path):
     # report the oracle error per step count (stderr; headline uses [0])
     extra = {}
     for ns in args.eval_steps[1:]:
-        extra[ns] = transport(ns, args.quad_dlogp)
+        extra[ns] = transport(ns, args.quad_dlogp, headline_dtype)
 
     p_eq = (mol.positions - mol.positions.mean(0)).astype(np.float32)
     x1c = x1 - x1.mean(1, keepdims=True)
@@ -139,6 +145,16 @@ def main(argv):
             file=sys.stderr,
         )
 
+    dtype_report = {}
+    if args.compute_dtype == "both":
+        x1_b, dlogp_b = transport(args.eval_steps[0], args.quad_dlogp, "bf16")
+        dtype_report = {
+            "dF_abs_err_bf16": oracle_err(x1_b, dlogp_b),
+            "dlogp_mean_shift_bf16": float(np.mean(dlogp_b - dlogp)),
+            "dlogp_rms_shift_bf16": float(np.sqrt(np.mean((dlogp_b - dlogp) ** 2))),
+            "x1_rms_shift_bf16": float(np.sqrt(np.mean((x1_b - x1) ** 2))),
+        }
+
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_start": sigma(T0),
         "dlogp_mean": float(dlogp.mean()),
@@ -147,6 +163,8 @@ def main(argv):
         "dF_abs_err": abs(dF_est - dF_exact),
         "eval_steps": args.eval_steps[0],
         "quad_dlogp": bool(args.quad_dlogp),
+        "compute_dtype": headline_dtype,
+        **dtype_report,
     }))
 
 

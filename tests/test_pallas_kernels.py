@@ -359,3 +359,23 @@ def test_bf16_compute_dtype_parity():
     d32 = float(divergence_exact(v_of(None), xs[0])[1])
     d16 = float(divergence_exact(v_of(jnp.bfloat16), xs[0])[1])
     assert abs(d32 - d16) / abs(d32) < 0.03, (d32, d16)
+
+
+def test_fused_rejects_compute_dtype():
+    """fused=True + compute_dtype is an explicit error (kernel out_shape
+    follows the cast input dtype while its body computes f32)."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+
+    mol = make_synthetic_molecule(n_atoms=4, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    with pytest.raises(ValueError, match="incompatible"):
+        apply_dense(
+            model, params, jnp.zeros((1, 4, 3)), jnp.zeros((1,)),
+            jnp.tile(jnp.array([700.0, 300.0]), (1, 1)),
+            template.atom_ids, template.edges,
+            fused=True, compute_dtype=jnp.bfloat16,
+        )

@@ -55,3 +55,23 @@ def test_profile_summary_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "busy over" in r.stdout
+
+
+def test_busy_time_merges_nested_spans():
+    """Nested host TraceMe spans must not double-count busy time."""
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/host:CPU"}},
+            {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name", "args": {"name": "python"}},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "parent", "ts": 0.0, "dur": 100.0},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "child", "ts": 10.0, "dur": 20.0},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "late", "ts": 150.0, "dur": 50.0},
+        ]
+    }
+    (lane,) = summarize_lanes(trace)
+    assert lane.busy_us == 150.0  # union of [0,100] and [150,200]
+    assert lane.span_us == 200.0
+    # inclusive per-op totals are still reported
+    assert {o.name: o.total_us for o in lane.ops} == {
+        "parent": 100.0, "child": 20.0, "late": 50.0
+    }

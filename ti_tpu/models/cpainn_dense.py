@@ -77,6 +77,12 @@ def apply_dense(
     f = model.n_features
     b, n, _ = x.shape
     cd = compute_dtype
+    if fused and cd is not None:
+        raise ValueError(
+            "fused=True is incompatible with compute_dtype: the Pallas edge "
+            "kernel's out_shape follows the (cast) input dtype while its body "
+            "computes f32 — use one or the other"
+        )
 
     def c(a):  # cast to the compute dtype (no-op in full precision)
         return a.astype(cd) if cd is not None else a
@@ -153,10 +159,10 @@ def apply_dense(
         uv = jnp.einsum("bnfc,fg->bngc", v, c(up["u"]["kernel"]))
         vv = jnp.einsum("bnfc,fg->bngc", v, c(up["v"]["kernel"]))
         vv_norm = jnp.linalg.norm(vv.astype(jnp.float32), axis=-1)
-        hu = mlp(jnp.concatenate([c(vv_norm), s], axis=-1), up["mlp"])
-        g_u, scale_sq, add_inv = jnp.split(c(hu), 3, axis=-1)
-        v = v + g_u[..., None] * uv
-        s = s + c(vv_norm**2 * scale_sq.astype(jnp.float32) + add_inv.astype(jnp.float32))
+        hu = mlp(jnp.concatenate([c(vv_norm), s], axis=-1), up["mlp"])  # f32 out
+        g_u, scale_sq, add_inv = jnp.split(hu, 3, axis=-1)
+        v = v + c(g_u)[..., None] * uv
+        s = s + c(vv_norm**2 * scale_sq + add_inv)
 
     ro = p["readout"]
     hr = mlp(s, ro["mlp"])  # (B, N, 2)

@@ -38,8 +38,8 @@ class LaneSummary(NamedTuple):
 
     process: str
     thread: str
-    ops: List[OpStat]          # sorted by total time, descending
-    busy_us: float             # sum of event durations on this lane
+    ops: List[OpStat]          # sorted by total (inclusive) time, descending
+    busy_us: float             # union of event intervals (nested spans merged)
     span_us: float             # last end - first start on this lane
 
 
@@ -84,7 +84,7 @@ def summarize_lanes(trace: dict) -> List[LaneSummary]:
     agg: Dict[tuple, Dict[str, List[float]]] = defaultdict(
         lambda: defaultdict(lambda: [0, 0.0])
     )
-    spans: Dict[tuple, List[float]] = {}
+    intervals: Dict[tuple, List[tuple]] = defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -94,8 +94,7 @@ def summarize_lanes(trace: dict) -> List[LaneSummary]:
         cell = agg[key][e.get("name", "?")]
         cell[0] += 1
         cell[1] += dur
-        lo, hi = spans.get(key, (ts, ts + dur))
-        spans[key] = (min(lo, ts), max(hi, ts + dur))
+        intervals[key].append((ts, ts + dur))
 
     lanes = []
     for key, by_name in agg.items():
@@ -103,15 +102,26 @@ def summarize_lanes(trace: dict) -> List[LaneSummary]:
             (OpStat(n, int(c), t) for n, (c, t) in by_name.items()),
             key=lambda o: -o.total_us,
         )
-        busy = sum(o.total_us for o in ops)
-        lo, hi = spans[key]
+        # busy time = UNION of the lane's intervals: host lanes nest TraceMe
+        # spans (parent + children overlap), so summing durations would
+        # double-count and report >100% busy
+        ivs = sorted(intervals[key])
+        busy = 0.0
+        cur_lo, cur_hi = ivs[0]
+        for lo, hi in ivs[1:]:
+            if lo > cur_hi:
+                busy += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        busy += cur_hi - cur_lo
         lanes.append(
             LaneSummary(
                 process=proc_names.get(key[0], str(key[0])),
                 thread=thread_names.get(key, str(key[1])),
                 ops=ops,
                 busy_us=busy,
-                span_us=hi - lo,
+                span_us=max(hi for _, hi in ivs) - ivs[0][0],
             )
         )
     lanes.sort(key=lambda l: -l.busy_us)
