@@ -13,6 +13,7 @@ Usage: python scripts/validate_mdqm9_physics.py [--epochs 300] [--features 64]
 """
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -41,6 +42,11 @@ def main(argv):
                          "production value 100 is tuned for F=128 — smaller "
                          "models need a shorter scale for usable T contrast")
     ap.add_argument("--out_dir", default="/tmp/mdqm9_physics")
+    ap.add_argument("--reuse", action="store_true",
+                    help="load the trained params saved by a previous run of "
+                         "this script (out_dir/oracle_params) instead of "
+                         "retraining — for cheap quadrature/dtype studies on "
+                         "the SAME field")
     ap.add_argument("--eval_steps", type=lambda s: [int(v) for v in s.split(",")],
                     default=[64], help="comma list; first = headline, rest = step study")
     ap.add_argument("--quad_dlogp", action="store_true",
@@ -88,9 +94,22 @@ def main(argv):
     )
     ds0 = MDQM9AmbientDataset.from_arrays(frames[T0], np.full(args.frames, float(T0)), mol)         if args.single_direction else MDQM9AmbientDataset.from_arrays(stack, temps, mol)
     ds1 = MDQM9AmbientDataset.from_arrays(frames[T1], np.full(args.frames, float(T1)), mol)         if args.single_direction else MDQM9AmbientDataset.from_arrays(stack, temps, mol)
-    res = train_ambient(cfg, ds0, ds1)
-    print("final train losses:", [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
-          file=sys.stderr)
+
+    from ti_tpu.train import common as train_common
+    from ti_tpu.train.ambient import build_ambient_model
+
+    params_path = os.path.join(args.out_dir, "oracle_params")
+    if args.reuse and os.path.exists(params_path):
+        model = build_ambient_model(cfg)
+        template = ds0.template
+        params = train_common.load_checkpoint(params_path)["params"]
+        res = {"model": model, "params": params, "template": template}
+        print(f"reusing trained params from {params_path}", file=sys.stderr)
+    else:
+        res = train_ambient(cfg, ds0, ds1)
+        print("final train losses:", [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
+              file=sys.stderr)
+        train_common.save_checkpoint(params_path, {"params": res["params"]})
 
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
 
