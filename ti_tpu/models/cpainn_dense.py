@@ -172,11 +172,14 @@ def apply_dense(
     )
 
 
-def dense_velocity_fn(model: CPaiNN, params, template: MolGraph):
+def dense_velocity_fn(model: CPaiNN, params, template: MolGraph, compute_dtype=None):
     """Batched drift (xs (B,N,3), t scalar-or-(B,), temps (B,K)) -> (B,N,3)."""
 
     def drift(xs, t, temps):
         tb = jnp.broadcast_to(jnp.asarray(t), (xs.shape[0],))
-        return apply_dense(model, params, xs, tb, temps, template.atom_ids, template.edges)
+        return apply_dense(
+            model, params, xs, tb, temps, template.atom_ids, template.edges,
+            compute_dtype=compute_dtype,
+        )
 
     return drift

@@ -723,6 +723,7 @@ def sample_molecular_sde(
     g_fn=0.0,
     n_steps: int = 100,
     n_save: int = 2,
+    compute_dtype=None,
 ):
     """Batched Euler–Maruyama transport (no dlogp); noise is COM-projected
     to stay on the zero-COM manifold the GNN was trained on.
@@ -736,7 +737,7 @@ def sample_molecular_sde(
 
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
-    drift = dense_velocity_fn(model, params, template)
+    drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
     g = g_fn if callable(g_fn) else (lambda t, _g=float(g_fn): jnp.asarray(_g, jnp.float32))
     dt = 1.0 / n_steps
     sqrt_dt = float(np.sqrt(dt))
