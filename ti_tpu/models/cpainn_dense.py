@@ -55,6 +55,7 @@ def apply_dense(
     tile: int = 128,
     interpret: bool = False,
     compute_dtype=None,
+    remat_ln: bool = False,
 ) -> Array:
     """Batched velocity field, dense-pair layout: (B, N, 3) -> (B, N, 3).
 
@@ -88,7 +89,10 @@ def apply_dense(
         return a.astype(cd) if cd is not None else a
 
     def mlp(rows, subtree):
-        return _mlp_block(c(rows), mlp_weights_from_flax(subtree), compute_dtype=cd)
+        return _mlp_block(
+            c(rows), mlp_weights_from_flax(subtree), compute_dtype=cd,
+            remat_ln=remat_ln,
+        )
 
     if fused:
         from ti_tpu.ops.pallas_kernels import fused_edge_mlp_diff

@@ -54,7 +54,23 @@ def mlp_weights_from_flax(p) -> MLPWeights:
     )
 
 
-def _mlp_block(x, w: MLPWeights, compute_dtype=None):
+def _ln_silu_block(h, scale, bias):
+    """LayerNorm -> SiLU, the elementwise segment between the MLP dots."""
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
+    l = (h - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return jax.nn.silu(l)
+
+
+# remat variant: under jax.linearize the tangent program RECOMPUTES the LN
+# statistics / sigmoid from the (possibly bf16) input instead of saving
+# several f32-elementwise residual tensors — per-lane HBM reads become
+# cheap VPU arithmetic, which is the right trade on the HBM-bound
+# divergence path (the 3N tangent lanes re-read every residual).
+_ln_silu_remat = jax.checkpoint(_ln_silu_block)
+
+
+def _mlp_block(x, w: MLPWeights, compute_dtype=None, remat_ln: bool = False):
     """The MLP body on a VMEM tile (shared by kernel and reference).
 
     ``compute_dtype=jnp.bfloat16`` feeds the three matmuls bf16 operands
@@ -62,22 +78,19 @@ def _mlp_block(x, w: MLPWeights, compute_dtype=None):
     every dot still accumulates into f32 (``preferred_element_type``) and
     the LayerNorm statistics stay f32. This is the mixed-precision profile
     for the HBM-bound divergence tangents (see models/cpainn_dense.py).
+    ``remat_ln`` swaps the LN->SiLU segments for their checkpointed form
+    (residuals = segment inputs only; see _ln_silu_remat).
     """
     cd = compute_dtype
+    ln_silu = _ln_silu_remat if remat_ln else _ln_silu_block
 
     def c(a):
         return a.astype(cd) if cd is not None else a
 
     h = jnp.dot(c(x), c(w.w1), preferred_element_type=jnp.float32) + w.b1
-    mu = jnp.mean(h, axis=-1, keepdims=True)
-    var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
-    h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * w.ln1_scale + w.ln1_bias
-    h = jax.nn.silu(h)
+    h = ln_silu(h, w.ln1_scale, w.ln1_bias)
     h = jnp.dot(c(h), c(w.w2), preferred_element_type=jnp.float32) + w.b2
-    mu = jnp.mean(h, axis=-1, keepdims=True)
-    var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
-    h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * w.ln2_scale + w.ln2_bias
-    h = jax.nn.silu(h)
+    h = ln_silu(h, w.ln2_scale, w.ln2_bias)
     return jnp.dot(c(h), c(w.w3), preferred_element_type=jnp.float32) + w.b3
 
 
