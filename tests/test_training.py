@@ -118,6 +118,20 @@ def test_ambient_training_and_sampling(mol_data, tmp_path):
     assert np.all(np.isfinite(out["samples"])) and np.all(np.isfinite(out["dlogps"]))
     assert os.path.exists(os.path.join(cfg.data_save_path, f"samples_{cfg.data_save_name}.npy"))
 
+    # bf16 mixed-precision sampling path (config key): same artifacts,
+    # samples/dlogps within mixed-precision tolerance of the f32 run
+    import dataclasses as _dc
+
+    cfg16 = _dc.replace(cfg, compute_dtype="bf16", data_save_name=cfg.data_save_name + "16")
+    out16 = sample_ambient(
+        cfg16, result["model"], result["params"], result["template"],
+        frames[500][:16], batch_size=8,
+    )
+    assert np.all(np.isfinite(out16["samples"]))
+    rms = float(np.sqrt(np.mean((out16["samples"][:, -1] - out["samples"][:, -1]) ** 2)))
+    assert rms < 0.05, rms
+    assert np.max(np.abs(out16["dlogps"] - out["dlogps"])) < 0.5
+
 
 def test_latent_training_and_sampling(mol_data, tmp_path):
     mol, frames = mol_data
