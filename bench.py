@@ -102,6 +102,33 @@ def main(quick: bool = False):
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
     print(f"[bench] optimized rk4+quad-dlogp: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
 
+    # --- multi-chip context: chain-shard the same sampler over all chips ---
+    # (jit partitions the embarrassingly parallel chain axis; correctness of
+    # this path is asserted on the virtual mesh in
+    # tests/test_parallel.py::test_headline_sampler_chain_sharded). The
+    # headline JSON stays per-chip, single-chip.
+    n_dev = len(jax.devices())
+    if n_dev > 1 and not quick:
+        try:
+            from ti_tpu.parallel.mesh import make_mesh, shard_batch
+
+            mesh = make_mesh(n_dev)
+            xs, ts = make_batch(chains * n_dev)
+            xs, ts = shard_batch(xs, mesh), shard_batch(ts, mesh)
+            sol = opt_sampler(xs, ts, key)
+            float(jnp.sum(sol.xs))
+            t0 = time.perf_counter()
+            sol = opt_sampler(xs, ts, jax.random.fold_in(key, 5))
+            float(jnp.sum(sol.xs))
+            agg = chains * n_dev / (time.perf_counter() - t0)
+            print(
+                f"[bench] chain-sharded over {n_dev} chips: {agg:.3f} samples/s "
+                f"aggregate = {agg / n_dev:.3f}/chip ({agg / max(opt_rate, 1e-9):.2f}x scaling)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # context metric only - never fail the bench
+            print(f"[bench] multi-chip context failed: {e}", file=sys.stderr)
+
     # --- reference-algorithm shape on the same chip ---
     # The reference solves dopri5 at atol=rtol=1e-5 in batches of 12 with an
     # exact divergence per RHS eval (sample_ambient.py:55-63). Its cost is

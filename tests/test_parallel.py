@@ -221,3 +221,35 @@ def test_fanout_end_to_end_sampling(tmp_path):
     # different RNG streams per shard (hutchinson keys etc. must not repeat)
     assert not np.allclose(np.load(tmp_path / "dlogps_fan.npy")[:4],
                            np.load(tmp_path / "dlogps_fan.npy")[4:])
+
+
+def test_headline_sampler_chain_sharded(mesh):
+    """The bench's gauss-dlogp sampler partitions over the chain axis of an
+    8-device mesh transparently (jit + sharded inputs), with results equal
+    to the unsharded run — the multi-chip story of the headline path."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+
+    mol = make_synthetic_molecule(n_atoms=4, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    sampler = make_ode_sampler(
+        molecular_v_fn_of(model, params, template),
+        solver="rk4", n_steps=8, n_save=2, return_dlogp=True,
+        divergence="exact", dlogp_quad_points=4, dlogp_quad="gauss",
+    )
+    key = jax.random.PRNGKey(1)
+    x0 = 0.2 * jax.random.normal(key, (16, 4, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (16, 1))
+
+    plain = sampler(x0, temps, key)
+    sharded = sampler(shard_batch(x0, mesh), shard_batch(temps, mesh), key)
+    assert len(sharded.xs.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(plain.xs), np.asarray(sharded.xs), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.dlogp), np.asarray(sharded.dlogp), rtol=2e-5, atol=2e-6
+    )
