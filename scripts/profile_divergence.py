@@ -61,8 +61,10 @@ def main():
     t_fwd_fused = timed(fwd(True), x, reps=16)
     print(f"primal fused  batch={chains}: {t_fwd_fused*1e3:8.2f} ms  ({t_fwd/t_fwd_fused:.2f}x vs unfused)")
 
-    def div(impl, chunk):
-        v_fn_of = molecular_v_fn_of(model, params, template, impl=impl)
+    def div(impl, chunk, compute_dtype=None):
+        v_fn_of = molecular_v_fn_of(
+            model, params, template, impl=impl, compute_dtype=compute_dtype
+        )
 
         def f(xx, i):
             def one(xc, tempc):
@@ -77,6 +79,8 @@ def main():
     print(f"div chunk16   batch={chains}: {t_div*1e3:8.2f} ms  (= {t_div/t_fwd:6.1f}x primal)")
     t_div_nc = timed(div("dense", None), x, reps=4)
     print(f"div nochunk   batch={chains}: {t_div_nc*1e3:8.2f} ms")
+    t_div_bf = timed(div("dense", None, jnp.bfloat16), x, reps=4)
+    print(f"div bf16      batch={chains}: {t_div_bf*1e3:8.2f} ms  ({t_div_nc/t_div_bf:.2f}x vs f32; headline path)")
     t_div_f = timed(div("dense_fused", None), x, reps=4)
     print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
 
