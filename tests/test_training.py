@@ -200,3 +200,25 @@ def test_molecular_sde_batched_matches_euler_ode():
         model, params, template, x0, temps, key, g_fn=0.3, n_steps=8, n_save=3
     )
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out2), rtol=0, atol=0)
+
+
+def test_ambient_sampling_dopri5_default_solver(mol_data, tmp_path):
+    """The config's DEFAULT solver (adaptive dopri5, the reference's
+    setting) through the molecular driver: finite samples/dlogp, adaptive
+    nfe, reference-layout artifacts."""
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.data.mdqm9 import graph_template
+
+    mol, frames = mol_data
+    cfg = _tiny_cfg(
+        tmp_path, solver_type="dopri5", atol=1e-3, rtol=1e-3, n_steps=3,
+        data_save_name="dp5",
+    )
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    out = sample_ambient(cfg, model, params, template, frames[500][:4], batch_size=4)
+    assert out["samples"].shape[0] == 4
+    assert np.all(np.isfinite(out["samples"])) and np.all(np.isfinite(out["dlogps"]))
+    assert out["nfe"] >= 14  # at least two accepted DP5 steps of 7 evals
+    assert os.path.exists(os.path.join(cfg.data_save_path, "samples_dp5.npy"))
