@@ -61,10 +61,13 @@ def main(argv=None):
               "IQR-kept weights")
 
     written = []
+    loaded = {}
     for kind in ("torsions", "bond_angles", "bond_lengths"):
-        gen = arr(args.results_dir, kind, args.tag)
-        ref = arr(args.results_dir, kind, args.ref_tag, required=False) \
+        gen = loaded[kind, args.tag] = arr(args.results_dir, kind, args.tag)
+        ref = loaded[kind, args.ref_tag] = (
+            arr(args.results_dir, kind, args.ref_tag, required=False)
             if args.ref_tag else None
+        )
         out_path = os.path.join(args.out, f"{kind}_{args.tag}.png")
         plot_marginals(
             gen, reference=ref, weights=weights,
@@ -73,13 +76,11 @@ def main(argv=None):
         )
         written.append(out_path)
 
-    if args.ref_tag:
-        md_t = arr(args.results_dir, "torsions", args.ref_tag, required=False)
-        if md_t is not None:
-            gen_t = arr(args.results_dir, "torsions", args.tag)
-            out_path = os.path.join(args.out, f"tica_{args.tag}.png")
-            plot_tica(md_t, gen_t, lag=args.lag, out_path=out_path)
-            written.append(out_path)
+    md_t = loaded.get(("torsions", args.ref_tag)) if args.ref_tag else None
+    if md_t is not None:
+        out_path = os.path.join(args.out, f"tica_{args.tag}.png")
+        plot_tica(md_t, loaded["torsions", args.tag], lag=args.lag, out_path=out_path)
+        written.append(out_path)
 
     for p in written:
         print(f"wrote {p}")
