@@ -231,3 +231,74 @@ def test_latent_bg_partition_function(latent_generated):
     )
     w = np.exp(log_w - mx)
     assert calc_ess(w) > 0.1 * len(x)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-temperature-out extrapolation (the reference's no_XXX experiment
+# shape, mdqm9/config/ambient/*_settings_no_*.json): the sampling target
+# temperature is EXCLUDED from training; the temperature-encoding
+# normalization keeps the model's full default grid like the reference.
+# TFEP remains exact under imperfect transport, so the dF check stays tight
+# even at the held-out temperature.
+# ---------------------------------------------------------------------------
+
+T_HELD_OUT = 600
+
+
+@pytest.fixture(scope="module")
+def extrapolated(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mdqm9_extrap")
+    mol = make_synthetic_molecule(n_atoms=N_ATOMS, seed=0)
+    train_T = [400, 500, 800, 1000]  # 600 held out
+    n_frames = 512
+    frames = {
+        T: make_synthetic_frames(mol, n_frames, T, seed=T, jitter=JITTER)
+        for T in train_T
+    }
+    stack = np.concatenate([frames[T] for T in train_T])
+    temps = np.concatenate([np.full(n_frames, float(T)) for T in train_T])
+
+    cfg = MDQM9Config(
+        n_features=16, score_layers=2, batch_size=64, n_epochs=40,
+        learning_rate=2e-3, gamma="brownian", a=0.1, temp_length=8.0,
+        scale_trajs=False, T0s=train_T, T1s=train_T,
+        model_save_path=str(tmp / "models"), data_save_path=str(tmp / "out"),
+    )
+    result = train_ambient(
+        cfg,
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+    )
+    x0 = make_synthetic_frames(mol, 512, 1000, seed=999, jitter=JITTER)
+    sampler = make_ode_sampler(
+        molecular_v_fn_of(result["model"], result["params"], result["template"]),
+        solver="rk4", n_steps=64, n_save=2, return_dlogp=True, divergence="exact",
+    )
+    temps_v = jnp.tile(jnp.array([1000.0, float(T_HELD_OUT)]), (len(x0), 1))
+    sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
+    return x0, np.asarray(sol.xs[:, -1]), np.asarray(sol.dlogp[:, -1]), _centered_equilibrium(mol)
+
+
+@pytest.mark.slow
+def test_extrapolated_tfep_matches_closed_form(extrapolated):
+    x0, x1, dlogp, p_eq = extrapolated
+    e0 = _reduced_energy(x0, 1000, p_eq)
+    e1 = _reduced_energy(x1, T_HELD_OUT, p_eq)
+    phis, _ = calc_phis_tfep(e0, e1, dlogp)
+    dF_est = calc_tfep_dF(phis)
+    dF_exact = -3 * (N_ATOMS - 1) * np.log(_sigma(T_HELD_OUT) / _sigma(1000))
+    assert dF_est == pytest.approx(dF_exact, abs=0.3), (dF_est, dF_exact)
+    log_w = -phis
+    w = np.exp(log_w - log_w.max())
+    assert calc_ess(w) > 0.02 * len(x0)
+
+
+@pytest.mark.slow
+def test_extrapolated_width_moves_to_held_out_target(extrapolated):
+    _, x1, _, p_eq = extrapolated
+    x1c = x1 - x1.mean(axis=1, keepdims=True)
+    width = np.sqrt(
+        np.sum((x1c - p_eq) ** 2, axis=(1, 2)).mean() / (3 * (N_ATOMS - 1))
+    )
+    # decisively toward the held-out temperature's width, away from the start
+    assert abs(width - _sigma(T_HELD_OUT)) < abs(width - _sigma(1000))
