@@ -80,6 +80,23 @@ def make_ode_sampler(
     8 nodes match Simpson-21+; integrators.sample_ode_gauss_dlogp).
     """
 
+    if (
+        return_dlogp and dlogp_quad_points is None and steps_per_dispatch is None
+        and solver != "dopri5" and n_steps > 32
+    ):
+        import sys
+
+        print(
+            "[ti_tpu] WARNING: stage-coupled exact-dlogp transport with "
+            f"n_steps={n_steps} runs the full divergence inside EVERY solver "
+            "stage in ONE device dispatch — on remote/tunneled TPUs this can "
+            "exceed the execution deadline and crash the worker. Set "
+            "steps_per_dispatch= to bound each dispatch, or use the "
+            "quadrature-decoupled dlogp (dlogp_quad_points=8, "
+            "dlogp_quad='gauss' — the benchmarked fast path).",
+            file=sys.stderr,
+        )
+
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":
             raise ValueError("dlogp_quad_points requires a fixed-step solver")
