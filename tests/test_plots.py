@@ -93,3 +93,32 @@ def test_mdqm9_plots_cli(tmp_path):
         p = tmp_path / "figs" / f"{kind}_run.png"
         assert p.exists() and p.stat().st_size > 1000, p
     assert "reweighting with" in r.stdout
+
+
+def test_adw_plots_cli(tmp_path):
+    """scripts/adw_plots.py renders the lambda2-vs-beta figure from the
+    reweight-CLI npz artifacts (reweighted + direct baseline)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(6)
+    for name in ("rw", "direct"):
+        np.savez(
+            tmp_path / f"{name}.npz",
+            betas=np.array([1.25, 1.5]),
+            eigenvalues_mean=rng.uniform(0.01, 0.1, (2, 4)),
+            lower=rng.uniform(0.005, 0.01, (2, 4)),
+            upper=rng.uniform(0.1, 0.2, (2, 4)),
+        )
+    r = subprocess.run(
+        [sys.executable, "scripts/adw_plots.py",
+         "--reweighted", str(tmp_path / "rw.npz"),
+         "--direct", str(tmp_path / "direct.npz"),
+         "--out", str(tmp_path / "fig.png")],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (tmp_path / "fig.png").stat().st_size > 1000
