@@ -48,6 +48,10 @@ def main(argv):
                          "production value 100 is tuned for F=128 — smaller "
                          "models need a shorter scale for usable T contrast")
     ap.add_argument("--out_dir", default="/tmp/mdqm9_physics")
+    ap.add_argument("--eval_batch", type=int, default=0,
+                    help="transport-evaluation chain batch (0 = all 1024 at "
+                         "once; set e.g. 64 for production-capacity models "
+                         "where 1024 chains x 3N tangent lanes exceed HBM)")
     ap.add_argument("--reuse", action="store_true",
                     help="load the trained params saved by a previous run of "
                          "this script (out_dir/oracle_params) instead of "
@@ -138,8 +142,16 @@ def main(argv):
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss",
         )
-        sol = sampler(jnp.asarray(x0), temps_v, jax.random.PRNGKey(0))
-        return np.asarray(sol.xs[:, -1]), np.asarray(sol.dlogp[:, -1])
+        bs = args.eval_batch or len(x0)
+        xs, lps = [], []
+        for i in range(0, len(x0), bs):
+            sol = sampler(
+                jnp.asarray(x0[i : i + bs]), temps_v[i : i + bs],
+                jax.random.PRNGKey(0),
+            )
+            xs.append(np.asarray(sol.xs[:, -1]))
+            lps.append(np.asarray(sol.dlogp[:, -1]))
+        return np.concatenate(xs), np.concatenate(lps)
 
     headline_dtype = "bf16" if args.compute_dtype == "bf16" else "f32"
     x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp, headline_dtype)
