@@ -171,6 +171,8 @@ def main(argv):
     mx = (-phis).max()
     dF_est = float(-(mx + np.log(np.mean(np.exp(-phis - mx)))))
     dF_exact = float(-3 * (N - 1) * np.log(sigma(T1) / sigma(T0)))
+    w_tfep = np.exp(-phis - mx)
+    ess = float(np.square(w_tfep.sum()) / np.sum(np.square(w_tfep)))
 
     def oracle_err(x1_a, dlogp_a):
         x1c_a = x1_a - x1_a.mean(1, keepdims=True)
@@ -202,6 +204,7 @@ def main(argv):
         "dlogp_expected": float(3 * (N - 1) * np.log(sigma(T0) / sigma(T1))),
         "dF_est": dF_est, "dF_exact": dF_exact,
         "dF_abs_err": abs(dF_est - dF_exact),
+        "ess": ess, "ess_frac": ess / len(x1),
         "eval_steps": args.eval_steps[0],
         "quad_dlogp": bool(args.quad_dlogp),
         "compute_dtype": headline_dtype,
