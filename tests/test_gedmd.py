@@ -191,3 +191,25 @@ def test_symbolic_basis_values_and_derivatives():
         hess[3, 0, 0], (4 * xs**2 - 2) * g, rtol=1e-5, atol=1e-7
     )
     np.testing.assert_allclose(hess[3, 0, 1], 4 * xs * ys * g, rtol=1e-5, atol=1e-7)
+
+
+def test_periodic_rff_frequencies_on_bessel_grid():
+    """sample_rff_gauss_periodic (reference rff_tools.py:35-66): frequencies
+    are integer multiples of pi/L with Bessel-ratio weights, and the
+    resulting features work in the generator pipeline on periodic data."""
+    from ti_tpu.gedmd.rff import sample_rff_gauss_periodic
+
+    L, sigma, kmax = np.pi, 1.0, 8
+    Om = sample_rff_gauss_periodic(0, 2, 400, L, sigma, kmax)
+    assert Om.shape == (2, 400)
+    k = Om / (np.pi / L)
+    np.testing.assert_allclose(k, np.round(k), atol=1e-12)  # integer grid
+    assert np.abs(k).max() <= kmax
+    # symmetric distribution, concentrated near 0 for sigma=1
+    assert abs(np.mean(k)) < 0.25
+    assert (np.abs(k) <= 2).mean() > 0.5
+
+    # torsion-like periodic data flows through the spectral pipeline
+    theta = np.random.default_rng(0).uniform(-np.pi, np.pi, (2, 2000))
+    d, W = spectral_analysis_rff_generator(theta, Om, nev=3, a=2.0, tol=1e-4)
+    assert d.shape == (3,) and np.all(np.isfinite(np.real(d)))
