@@ -207,3 +207,67 @@ def test_eval_energy_cli_gated(tmp_path):
     )
     assert r.returncode == 2, (r.returncode, r.stdout, r.stderr)
     assert "dedicated energy environment" in r.stderr
+
+
+def test_mdqm9_results_full_report_cli(tmp_path):
+    """Full multi-source report mode: reference-layout artifacts for all
+    sources (ambient_md, ambient_lti, latent at T0/T1, MD trajectories)
+    in one command, artifact-name parity with results_00031.py:291-340."""
+    from ti_tpu.data.mdqm9 import make_synthetic_frames, make_synthetic_molecule
+
+    mol = make_synthetic_molecule(n_atoms=5, seed=0)
+    mol_index = 31
+    _write_sdf(tmp_path / "mdqm9.sdf", mol, mol_index)
+
+    rng = np.random.default_rng(0)
+    n, tag = 40, "full"
+
+    def frames(seed, m=n):
+        return make_synthetic_frames(mol, m, 300, seed=seed)
+
+    def save_source(d, with_latent):
+        os.makedirs(d)
+        s = np.stack([frames(1), frames(2)], axis=1)  # (n, n_save=2, N, 3)
+        np.save(d / f"samples_{tag}.npy", s)
+        np.save(d / f"dlogps_{tag}.npy", rng.normal(0, 0.1, n))
+        np.save(d / f"E0s_{tag}.npy", rng.normal(10, 0.5, n))
+        np.save(d / f"E1s_{tag}.npy", rng.normal(10, 0.5, n))
+        if with_latent:
+            np.save(d / f"latent_noises_{tag}.npy", rng.standard_normal((n, 5, 3)))
+            np.save(d / f"latent_dlogps_{tag}.npy", rng.normal(0, 0.1, n))
+
+    save_source(tmp_path / "ambient_md", with_latent=False)
+    save_source(tmp_path / "ambient_lti", with_latent=True)
+
+    latent = tmp_path / "latent"
+    os.makedirs(latent)
+    for T in (1000, 300):
+        s = np.stack([rng.standard_normal((n, 5, 3)), frames(T)], axis=1)
+        np.save(latent / f"samples_{T}K.npy", s)
+        np.save(latent / f"dlogps_{T}K.npy", rng.normal(0, 0.1, n))
+        np.save(latent / f"Es_{T}K.npy", rng.normal(10, 0.5, n))
+
+    for split in ("train",):
+        os.makedirs(tmp_path / "trajs" / split)
+        all_T = np.stack(
+            [make_synthetic_frames(mol, 24, T, seed=T) for T in range(300, 1001, 100)]
+        )
+        np.save(tmp_path / "trajs" / split / "00031.npy", all_T)
+
+    r = run([
+        "scripts/mdqm9_results.py", "--sdf", str(tmp_path / "mdqm9.sdf"),
+        "--mol_index", "31", "--tag", tag,
+        "--md_ti_dir", str(tmp_path / "ambient_md"),
+        "--bg_ti_dir", str(tmp_path / "ambient_lti"),
+        "--latent_dir", str(latent), "--T0", "1000", "--T1", "300",
+        "--traj_path", str(tmp_path / "trajs"),
+        "--scaling_factor", "1.0", "--n_bootstrap", "10",
+        "--out", str(tmp_path / "results"),
+    ])
+    assert "dF (BG Ref.):" in r.stdout and "ESS (BG at T0):" in r.stdout
+
+    from tests.test_pipelines import REFERENCE_00031_ARTIFACTS
+
+    saved = {p.name[:-4] for p in (tmp_path / "results").glob("*.npy")}
+    missing = REFERENCE_00031_ARTIFACTS - saved
+    assert not missing, f"missing reference artifacts: {sorted(missing)}"

@@ -17,11 +17,15 @@ from ti_tpu.analysis.reweight import (
     reweighted_gedmd_spectrum,
 )
 from ti_tpu.analysis.results import (
+    BGRefSource,
+    BGTISource,
+    MDTISource,
     gen_bond_lengths,
     gen_free_energy_bg,
     gen_free_energy_tfep_md_ti,
     gen_torsions,
     gen_z_matrix,
+    generate_full_report,
     generate_report,
 )
 from ti_tpu.analysis.sort_atoms import adjacency_from_bonds
@@ -129,3 +133,121 @@ def test_gen_z_matrix_valid_geometry():
     assert np.all(gen_bond_lengths(z) > 0)
     t = gen_torsions(z)
     assert np.all((t > -np.pi - 1e-6) & (t <= np.pi + 1e-6))
+
+
+# the reference's complete artifact-name set (results_00031.py:291-340)
+REFERENCE_00031_ARTIFACTS = {
+    # marginals (8 sources x 3 kinds; note the md_T/md naming quirks)
+    *(f"torsions_{s}" for s in
+      ("md_ti_0", "md_ti_1", "bg_ti_0", "bg_ti_1", "bg_ref_T0", "bg_ref_T1",
+       "md_T1", "md_T0")),
+    *(f"bond_angles_{s}" for s in
+      ("md_ti_0", "md_ti_1", "bg_ti_0", "bg_ti_1", "bg_ref_T0", "bg_ref_T1",
+       "md_T1", "md_T0")),
+    *(f"bond_lengths_{s}" for s in
+      ("md_ti_0", "md_ti_1", "bg_ti_0", "bg_ti_1", "bg_ref_T0", "bg_ref_T1",
+       "md_1", "md_0")),
+    # ESS
+    "ess_md_ti_percentage", "ess_bg_ti_percentage", "ess_bg_T0_percentage",
+    "ess_md_ti_ci_percentage", "ess_bg_ti_ci_percentage",
+    "ess_bg_T0_ci_percentage",
+    # free energies
+    "df_md_ti", "dF_bg_ti_tfep", "dF_bg_ref", "dF_bg_ref_tfep",
+    "dF_bg_ref_ci", "dF_bg_ti_tfep_ci", "dF_md_ti_ci", "dF_bg_ref_tfep_ci",
+    # importance weights
+    "weights_md_ti", "weights_bg_ti_T1", "weights_bg_ti_T0",
+    "weights_bg_ref_T0", "weights_bg_ref_T1",
+}
+
+
+def _synthetic_full_report_inputs(n=80, n_atoms=9):
+    mol = make_synthetic_molecule(n_atoms=n_atoms, seed=0)
+    adj = adjacency_from_bonds(mol.n_atoms, mol.bond_index)
+    rng = np.random.default_rng(7)
+
+    def frames(seed, m=n):
+        return make_synthetic_frames(mol, m, 300, seed=seed)
+
+    def es():
+        return rng.normal(10.0, 0.5, n)
+
+    def nd():
+        return rng.normal(0.0, 0.1, n)
+
+    md_ti = MDTISource(x0s=frames(1), x1s=frames(2), E0s=es(), E1s=es(),
+                       neg_dlogps_ti=nd())
+    bg_ti = BGTISource(x0s=frames(3), x1s=frames(4),
+                       zs=rng.standard_normal((n, n_atoms, 3)),
+                       neg_dlogps_bg=nd(), neg_dlogps_ti=nd(),
+                       E0s=es(), E1s=es())
+    bg0 = BGRefSource(zs=rng.standard_normal((n, n_atoms, 3)), xs=frames(5),
+                      neg_dlogps_bg=nd(), Es=es())
+    bg1 = BGRefSource(zs=rng.standard_normal((n, n_atoms, 3)), xs=frames(6),
+                      neg_dlogps_bg=nd(), Es=es())
+    return adj, md_ti, bg_ti, bg0, bg1, frames
+
+
+def test_generate_full_report_artifact_name_parity(tmp_path):
+    """Every array the reference report saves (results_00031.py:291-340)
+    must come out of one generate_full_report call, under the same name."""
+    adj, md_ti, bg_ti, bg0, bg1, frames = _synthetic_full_report_inputs()
+
+    report = generate_full_report(
+        adj, md_ti=md_ti, bg_ti=bg_ti, bg_ref_T0=bg0, bg_ref_T1=bg1,
+        md_T0=frames(7, 40), md_T1=frames(8, 40),
+        n_bootstrap=25, save_path=str(tmp_path),
+    )
+
+    saved = {p.name[:-4] for p in tmp_path.glob("*.npy")}
+    missing = REFERENCE_00031_ARTIFACTS - saved
+    assert not missing, f"missing reference artifacts: {sorted(missing)}"
+
+    # IQR filtering ties weights to the target-side marginals in lockstep
+    # (results_00031.py:267-279)
+    assert len(report["weights_md_ti"]) == len(report["torsions_md_ti_1"])
+    assert len(report["weights_bg_ti_T1"]) == len(report["torsions_bg_ti_1"])
+    # source-side marginals stay unfiltered
+    assert len(report["torsions_md_ti_0"]) == 80
+    # weights_bg_ti_T0 / bg_ref weights are saved UNfiltered (:281-283)
+    assert len(report["weights_bg_ti_T0"]) == 80
+    assert len(report["weights_bg_ref_T0"]) == 80
+
+    for key in ("df_md_ti", "dF_bg_ti_tfep", "dF_bg_ref", "dF_bg_ref_tfep"):
+        lo, hi = report[f"dF_{key.split('_', 1)[1]}_ci" if key == "df_md_ti"
+                        else f"{key}_ci"]
+        assert np.isfinite(report[key]) and lo <= hi
+
+    for key in ("ess_md_ti", "ess_bg_ti", "ess_bg_T0"):
+        pct = report[f"{key}_percentage"]
+        assert 0 < pct <= 100.0
+
+
+def test_generate_full_report_partial_sources(tmp_path):
+    """Sources are independent: a BG-reference-only call yields the BG dF
+    routes and ESS without requiring the TI artifacts."""
+    adj, _, _, bg0, bg1, _ = _synthetic_full_report_inputs(n=60)
+    report = generate_full_report(
+        adj, bg_ref_T0=bg0, bg_ref_T1=bg1, n_bootstrap=20,
+        save_path=str(tmp_path),
+    )
+    assert "dF_bg_ref" in report and "dF_bg_ref_tfep" in report
+    assert "ess_bg_T0_percentage" in report
+    assert "df_md_ti" not in report
+    assert (tmp_path / "torsions_bg_ref_T0.npy").exists()
+
+
+def test_generate_full_report_10506_extras(tmp_path):
+    """The 10506 report's additions: z_matrix_* arrays and torsions_h5_md
+    (results_10506.py:51-52,90-97)."""
+    adj, md_ti, bg_ti, _, _, frames = _synthetic_full_report_inputs(n=30)
+    report = generate_full_report(
+        adj, md_ti=md_ti, bg_ti=bg_ti, h5_md=frames(9, 20),
+        md_T0=frames(10, 20), md_T1=frames(11, 20),
+        n_bootstrap=10, save_path=str(tmp_path), save_z_matrices=True,
+    )
+    assert report["torsions_h5_md"].shape == (20, 6)
+    for name in ("z_matrix_md_ti_0", "z_matrix_md_ti_1", "z_matrix_bg_ti_0",
+                 "z_matrix_bg_ti_1", "z_matrix_md_T0", "z_matrix_md_T1"):
+        assert name in report, name
+    assert (tmp_path / "torsions_h5_md.npy").exists()
+    assert (tmp_path / "z_matrix_md_ti_0.npy").exists()
