@@ -100,7 +100,18 @@ def compute_atom_order_and_references_groups(adjacency: np.ndarray):
     for _ in sn[2:]:
         ref_atoms.append([center, sn[0], sn[1]])
 
-    # remaining non-terminals: attach their unvisited neighbors
+    # remaining non-terminals: attach their unvisited neighbors.
+    #
+    # Ring safety: whenever a non-terminal is processed as a center, ALL of
+    # its neighbors end up placed (first group explicitly; later groups via
+    # `rest` + the already-placed parent). `parent` precedes `nt` in the
+    # BFS order, so by the time nt's children are placed every neighbor of
+    # parent — including the `third` torsion reference below — is already
+    # in atom_order; ring-closing neighbors are skipped by the
+    # `atom not in atom_order` guard (same invariant as the reference,
+    # sort_atoms.py:294-311). Verified on cyclic/fused/bridged topologies
+    # in tests/test_zmatrix.py (ring round-trip + randomized polycyclic
+    # property test).
     for nt, parent in zip(nt_order[1:], parents[1:]):
         rest = [nb for nb in neigh[nt] if nb != parent]
         rest = by_degree_desc(rest)
