@@ -213,3 +213,108 @@ def test_periodic_rff_frequencies_on_bessel_grid():
     theta = np.random.default_rng(0).uniform(-np.pi, np.pi, (2, 2000))
     d, W = spectral_analysis_rff_generator(theta, Om, nev=3, a=2.0, tol=1e-4)
     assert d.shape == (3,) and np.all(np.isfinite(np.real(d)))
+
+
+# ---------------------------------------------------------------------------
+# non-reversible / general-diffusion branches (reference gedmd/rff.py:70-123)
+# ---------------------------------------------------------------------------
+
+def test_generator_spectrum_nonreversible_ou_with_drift():
+    """Non-reversible formulation with explicit drift b = -kappa x and
+    constant a recovers the same OU spectrum -kappa*n."""
+    X = np.asarray(_stationary_samples(8000))
+    Omega = sample_rff_gaussian(2, 1, 64, 0.8)
+    b = -KAPPA * X  # drift field at all data sites, (d, m)
+    d, W = spectral_analysis_rff_generator(
+        X, Omega, nev=4, a=2.0 / BETA, b=b, tol=1e-4, reversible=False
+    )
+    np.testing.assert_allclose(np.real(d), [-3.0, -2.0, -1.0, 0.0], atol=0.25)
+    assert np.max(np.abs(np.imag(d))) < 0.1
+    assert W.shape == (64, 4)
+
+
+def test_general_diffusion_tensor_matches_scalar():
+    """A (d, d, m) tensor that is the tiled scalar a must reproduce the
+    float-a path exactly, in both formulations."""
+    from ti_tpu.gedmd.rff import _features, rff_ml_nonreversible, rff_ml_reversible
+
+    X = np.asarray(_stationary_samples(2000))
+    Omega = sample_rff_gaussian(3, 1, 32, 0.8)
+    a = 2.0
+    a_tensor = np.tile(np.eye(1)[:, :, None] * a, (1, 1, X.shape[1]))
+    M = _features(np.asarray(X, dtype=np.float64), Omega)
+
+    np.testing.assert_allclose(
+        rff_ml_reversible(M, Omega, a_tensor),
+        rff_ml_reversible(M, Omega, a), rtol=1e-10, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        rff_ml_nonreversible(M, Omega, a_tensor),
+        rff_ml_nonreversible(M, Omega, a), rtol=1e-10, atol=1e-8,
+    )
+
+    d_tensor, _ = spectral_analysis_rff_generator(X, Omega, nev=3, a=a_tensor, tol=1e-4)
+    d_scalar, _ = spectral_analysis_rff_generator(X, Omega, nev=3, a=a, tol=1e-4)
+    np.testing.assert_allclose(d_tensor, d_scalar, rtol=1e-8, atol=1e-8)
+
+
+def test_generator_spectrum_anisotropic_constant_matrix():
+    """2-D reversible process with stationary N(0, I) and constant matrix
+    diffusion a = diag(2, 4): generator eigenvalues are -(n1*1 + n2*2)
+    (each coordinate an OU with kappa_i = a_i/2) -> top 4: 0, -1, -2, -2."""
+    rng = np.random.default_rng(11)
+    m = 20_000
+    X = rng.standard_normal((2, m))
+    a = np.zeros((2, 2, m))
+    a[0, 0] = 2.0
+    a[1, 1] = 4.0
+    Omega = sample_rff_gaussian(4, 2, 100, 1.0)
+    d, _ = spectral_analysis_rff_generator(X, Omega, nev=4, a=a, tol=1e-4)
+    np.testing.assert_allclose(np.real(d), [-2.0, -2.0, -1.0, 0.0], atol=0.3)
+
+
+def _transformed_ou(m=50_000, seed=5, eps=0.1):
+    """y = g(x) = x + eps x^3 of a stationary OU (kappa=1, a=2): a diffusion
+    with genuinely state-dependent coefficients whose generator spectrum is
+    STILL -n (spectra are invariant under smooth invertible changes of
+    variables). Ito: g' = 1 + 3 eps x^2, b_y = -x g' + 6 eps x,
+    a_y = 2 g'^2."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, m))
+    y = x + eps * x**3
+    gp = 1.0 + 3 * eps * x**2
+    b = (-x * gp + 6 * eps * x).reshape(1, m)
+    a = (2.0 * gp**2).reshape(1, 1, m)
+    return y, a, b
+
+
+def test_generator_spectrum_state_dependent_diffusion_reversible():
+    # tol=1e-2: the reversible quadratic form with state-dependent a is a
+    # heavy-tailed estimator whose near-null whitened modes are noisy;
+    # aggressive rank truncation suppresses the spurious modes (verified
+    # against the quadrature-exact spectrum, which is [-2, -1, 0] at any tol)
+    y, a, b = _transformed_ou()
+    Omega = sample_rff_gaussian(6, 1, 80, 1.0)
+    d, _ = spectral_analysis_rff_generator(y, Omega, nev=3, a=a, tol=1e-2)
+    np.testing.assert_allclose(np.real(d), [-2.0, -1.0, 0.0], atol=0.25)
+
+
+def test_generator_spectrum_state_dependent_diffusion_nonreversible():
+    y, a, b = _transformed_ou()
+    Omega = sample_rff_gaussian(7, 1, 80, 1.0)
+    d, _ = spectral_analysis_rff_generator(
+        y, Omega, nev=3, a=a, b=b, tol=1e-4, reversible=False
+    )
+    np.testing.assert_allclose(np.real(d), [-2.0, -1.0, 0.0], atol=0.25)
+    assert np.max(np.abs(np.imag(d))) < 0.15
+
+
+def test_cv_generator_rff_general_diffusion():
+    """CV scoring shuffles the (d, d, m) diffusion alongside the data
+    (reference cv_generator_rff, gedmd/rff.py:214-222)."""
+    y, a, _ = _transformed_ou(6000)
+    Omega = sample_rff_gaussian(8, 1, 40, 1.0)
+    d, s = cv_generator_rff(y, Omega, a, rtrain=0.75, ntest=3, nev=3, tol=1e-4)
+    assert d.shape == (3, 3) and s.shape == (3,)
+    assert np.isfinite(s).all()
+    np.testing.assert_allclose(d[:, -1], 0.0, atol=0.1)  # stationary mode

@@ -105,6 +105,79 @@ def rff_gram_generator(
     return G, ML
 
 
+def _concat_diffusion(a):
+    """Diffusion given per-trajectory as a list of (d, d, m_i) → (d, d, m)
+    (reference spectral_analysis_rff_generator, gedmd/rff.py:310-313)."""
+    if isinstance(a, float):
+        return a
+    if isinstance(a, (list, tuple)):
+        return np.concatenate([np.asarray(ia, dtype=np.float64) for ia in a], axis=2)
+    return np.asarray(a, dtype=np.float64)
+
+
+def _concat_drift(b):
+    if b is None:
+        return None
+    if isinstance(b, (list, tuple)):
+        return np.concatenate([np.asarray(ib, dtype=np.float64) for ib in b], axis=1)
+    return np.asarray(b, dtype=np.float64)
+
+
+def rff_ml_nonreversible(
+    M: np.ndarray, Omega: np.ndarray, a, b: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """ML (m, p): generator applied to all features at all data points,
+    non-reversible formulation (reference M_RFF_Generator non-reversible
+    branch, gedmd/rff.py:100-110).
+
+    a: float (constant scalar diffusion) or (d, d, m) tensor at each data
+    site; b: optional (d, m) drift field."""
+    Omega = np.asarray(Omega, dtype=np.float64)
+    if isinstance(a, float):
+        ML = -0.5 * a * M * (np.linalg.norm(Omega, axis=0) ** 2)[None, :]
+    else:
+        a = np.asarray(a, dtype=np.float64)
+        # quad[m, p] = Σ_ij a[i,j,m] Ω[i,p] Ω[j,p]
+        quad = np.einsum("ijm,ip,jp->mp", a, Omega, Omega, optimize=True)
+        ML = -0.5 * quad * M
+    if b is not None:
+        ML = ML + (-1j) * (np.asarray(b, dtype=np.float64).T @ Omega) * M
+    return ML
+
+
+def rff_ml_reversible(
+    M: np.ndarray,
+    Omega: np.ndarray,
+    a,
+    weights: Optional[np.ndarray] = None,
+    chunk: int = 2048,
+) -> np.ndarray:
+    """p×p contraction of feature gradients with the diffusion field,
+    reversible formulation (reference M_RFF_Generator reversible branch,
+    gedmd/rff.py:113-121): ML_uv = -½ Σ_l conj(M)_lu (Ω_u† a_l Ω_v) M_lv.
+
+    a: float or (d, d, m). The general case is evaluated in data chunks so
+    only (d, p, chunk) intermediates are materialized (the reference forms
+    the full p×p×m tensors, :118-119)."""
+    Omega = np.asarray(Omega, dtype=np.float64)
+    if isinstance(a, float):
+        Mw = M if weights is None else M * np.asarray(weights)[:, None]
+        return -0.5 * a * (Omega.T @ Omega) * (M.conj().T @ Mw)
+    a = np.asarray(a, dtype=np.float64)
+    m, p = M.shape
+    ML = np.zeros((p, p), dtype=np.complex128)
+    for lo in range(0, m, chunk):
+        sl = slice(lo, min(lo + chunk, m))
+        Mc = M[sl]  # (c, p)
+        P = np.einsum("ijl,jv->ivl", a[:, :, sl], Omega, optimize=True)  # (d,p,c)
+        C = P * Mc.T[None, :, :]
+        if weights is not None:
+            C = C * np.asarray(weights)[sl][None, None, :]
+        D = Omega[:, :, None] * Mc.conj().T[None, :, :]
+        ML += np.einsum("iul,ivl->uv", D, C, optimize=True)
+    return -0.5 * ML
+
+
 # ---------------------------------------------------------------------------
 # Whitening + eigen-filtering (reference gedmd/util.py)
 # ---------------------------------------------------------------------------
@@ -152,22 +225,35 @@ def split_by_lag(Xfull, lag: int):
 # ---------------------------------------------------------------------------
 
 def spectral_analysis_rff_generator(
-    X, Omega, nev: int, a: float, tol: float = 0.0, reversible: bool = True
+    X, Omega, nev: int, a, b=None, tol: float = 0.0, reversible: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Top-``nev`` (ascending) eigenpairs of the Koopman generator,
-    reversible constant-diffusion formulation (the only one used by the
-    reference analysis layer, adw/analysis/reweight_gedmd.py:39-43,
+    """Top-``nev`` (ascending) eigenpairs of the Koopman generator
+    (reference spectral_analysis_rff_generator, gedmd/rff.py:283-342).
+
+    a: float (constant scalar diffusion) or (d, d, m) tensor (or list per
+    trajectory); b: optional (d, m) drift, used only when
+    reversible=False (the reference also ignores b in the reversible
+    formulation, :317-319). The reversible constant-a branch is the one
+    every reference pipeline uses (adw/analysis/reweight_gedmd.py:39-43,
     mdqm9/analysis/gedmd.py:36-56). Returns (d (nev,), W (p, nev))."""
-    if not reversible:
-        raise NotImplementedError(
-            "non-reversible generator path is unused by every reference "
-            "pipeline; use the Koopman-operator analysis instead"
-        )
-    G, ML = rff_gram_generator(X, Omega, a)
+    Xc = _concat_trajs(X)
+    a = _concat_diffusion(a)
+    b = None if reversible else _concat_drift(b)
+    M = _features(Xc, Omega)
+    G = M.conj().T @ M
     L, keep = whitening_transform(G, tol, rmin=nev)
-    R = L.conj().T @ ML @ L
-    R = R + np.diag(np.where(keep, 0.0, _NEG_PAD))
-    d, Wi = np.linalg.eigh(R)
+    if reversible:
+        ML = rff_ml_reversible(M, Omega, a)
+        R = L.conj().T @ ML @ L + np.diag(np.where(keep, 0.0, _NEG_PAD))
+        d, Wi = np.linalg.eigh(R)
+        return d[-nev:], L @ Wi[:, -nev:]
+    # non-reversible: R = V† ML L with V = M L, i.e. L† (M† ML) L — the
+    # Gram restructure of the reference's svd-V path (gedmd/rff.py:323-329)
+    ML = rff_ml_nonreversible(M, Omega, a, b)
+    A = M.conj().T @ ML
+    R = L.conj().T @ A @ L + np.diag(np.where(keep, 0.0, _NEG_PAD))
+    d, Wi = np.linalg.eig(R)
+    d, Wi = filter_ev(d, Wi, eps1=_NEG_PAD / 2)
     return d[-nev:], L @ Wi[:, -nev:]
 
 
@@ -251,12 +337,13 @@ def bootstrap_generator_eigenvalues(
 # VAMP cross-validation (reference gedmd/rff.py:126-240, 347-406)
 # ---------------------------------------------------------------------------
 
-def _vamp_score_generator(M_test: np.ndarray, OtO: np.ndarray, a: float, W: np.ndarray) -> float:
+def _vamp_score_generator(M_test: np.ndarray, Omega: np.ndarray, a, W: np.ndarray) -> float:
     """VAMP score of subspace W on held-out features: orthonormalize
     M_test W, sum eigenvalues of the reduced generator (reference
-    _score_test_data_generator, gedmd/rff.py:347-377)."""
+    _score_test_data_generator, gedmd/rff.py:347-377). a: float or the
+    (d, d, m_test) diffusion at the held-out sites."""
     G = M_test.conj().T @ M_test
-    ML = -0.5 * a * OtO * G
+    ML = rff_ml_reversible(M_test, Omega, a)
     B = W.conj().T @ G @ W
     lam, U = np.linalg.eigh(B)
     ok = lam > lam[-1] * 1e-12
@@ -265,31 +352,36 @@ def _vamp_score_generator(M_test: np.ndarray, OtO: np.ndarray, a: float, W: np.n
 
 
 def cv_generator_rff(
-    X, Omega, a: float, rtrain: float, ntest: int, nev: int, tol: float = 0.0, seed=0
+    X, Omega, a, rtrain: float, ntest: int, nev: int, tol: float = 0.0, seed=0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Repeated random-split VAMP scoring for the reversible generator
-    (reference cv_generator_rff, gedmd/rff.py:180-240). Returns
-    (eigenvalues (ntest, nev), scores (ntest,))."""
+    (reference cv_generator_rff, gedmd/rff.py:180-240). a: float, or a
+    (d, d, m) tensor (or list per trajectory) shuffled alongside the data
+    (reference :214-222). Returns (eigenvalues (ntest, nev),
+    scores (ntest,))."""
     rng = _rng(seed)
     Xc = _concat_trajs(X)
+    a = _concat_diffusion(a)
     m = Xc.shape[1]
     M = _features(Xc, Omega)
     Omega = np.asarray(Omega, dtype=np.float64)
-    OtO = Omega.T @ Omega
     ntrain = int(rtrain * m)
+    general_a = not isinstance(a, float)
 
     d_out = np.zeros((ntest, nev))
     scores = np.zeros(ntest)
     for ii in range(ntest):
         perm = rng.permutation(m)
         Mtr, Mte = M[perm[:ntrain]], M[perm[ntrain:]]
+        atr = a[:, :, perm[:ntrain]] if general_a else a
+        ate = a[:, :, perm[ntrain:]] if general_a else a
         G = Mtr.conj().T @ Mtr
-        ML = -0.5 * a * OtO * G
+        ML = rff_ml_reversible(Mtr, Omega, atr)
         L, keep = whitening_transform(G, tol, rmin=nev)
         R = L.conj().T @ ML @ L + np.diag(np.where(keep, 0.0, _NEG_PAD))
         d, Wi = np.linalg.eigh(R)
         d_out[ii] = d[-nev:]
-        scores[ii] = _vamp_score_generator(Mte, OtO, a, L @ Wi[:, -nev:])
+        scores[ii] = _vamp_score_generator(Mte, Omega, ate, L @ Wi[:, -nev:])
     return d_out, scores
 
 
