@@ -9,6 +9,17 @@ projection). The notebooks become a CLI over the artifact pipeline:
       [--data_dir out --energy_dir energies]   # -> reweighting weights
       [--lag 10] [--out figures]
 
+Full-report mode (the 10506 figure path, reference results_10506.py +
+10506_marginals.ipynb): point --tag/--ref_tag at the reference-named
+sources the full report saved and take the saved weights directly:
+
+  python scripts/mdqm9_plots.py --results_dir results --tag md_ti_1 \
+      --ref_tag md_T1 --weights weights_md_ti --lag 10 --out figures
+
+--ref_tag falls back to the report's bond_lengths_md_0/1 naming quirk,
+and an h5-backed MD reference (--ref_tag h5_md) plots the torsion
+marginals + TICA only, like the reference 10506 report.
+
 Writes torsions/bond_angles/bond_lengths marginal grids (PNG) and, when a
 reference ensemble is given, the MD-vs-generated TICA plane.
 """
@@ -35,22 +46,36 @@ def main(argv=None):
                     help="sampling artifacts dir (dlogps_<tag>.npy) for weights")
     ap.add_argument("--energy_dir", default=None,
                     help="energy artifacts dir (E0s_/E1s_<tag>.npy) for weights")
+    ap.add_argument("--weights", default=None,
+                    help="name of a saved weights array in results_dir "
+                    "(full-report mode, e.g. weights_md_ti)")
     ap.add_argument("--lag", type=int, default=10, help="TICA lag (frames)")
     ap.add_argument("--out", default="figures")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
 
+    # the full report's MD-reference naming quirk (results_00031.py:315-316)
+    _QUIRKS = {("bond_lengths", "md_T0"): "bond_lengths_md_0",
+               ("bond_lengths", "md_T1"): "bond_lengths_md_1"}
+
     def arr(dirname, name, tag, required=True):
         p = os.path.join(dirname, f"{name}_{tag}.npy")
+        if not os.path.exists(p) and (name, tag) in _QUIRKS:
+            p = os.path.join(dirname, f"{_QUIRKS[name, tag]}.npy")
         if not os.path.exists(p):
             if required:
                 raise FileNotFoundError(p)
             return None
         return np.load(p)
 
-    weights = None
-    if args.data_dir and args.energy_dir:
+    weights = weights_path = None
+    if args.weights:
+        weights_path = os.path.join(args.results_dir, f"{args.weights}.npy")
+        weights = np.load(weights_path)
+        print(f"reweighting with the report's saved {args.weights} array")
+    elif args.data_dir and args.energy_dir:
+        weights_path = os.path.join(args.data_dir, f"dlogps_{args.tag}.npy")
         dlogps = arr(args.data_dir, "dlogps", args.tag)
         e0 = arr(args.energy_dir, "E0s", args.tag)
         e1 = arr(args.energy_dir, "E1s", args.tag)
@@ -64,6 +89,13 @@ def main(argv=None):
     loaded = {}
     for kind in ("torsions", "bond_angles", "bond_lengths"):
         gen = loaded[kind, args.tag] = arr(args.results_dir, kind, args.tag)
+        if weights is not None and len(weights) != len(gen):
+            raise SystemExit(
+                f"weights/marginals length mismatch: {len(weights)} weights "
+                f"({weights_path}) vs {len(gen)} samples "
+                f"({os.path.join(args.results_dir, f'{kind}_{args.tag}.npy')}) "
+                "— artifacts are from different runs or filtering stages"
+            )
         ref = loaded[kind, args.ref_tag] = (
             arr(args.results_dir, kind, args.ref_tag, required=False)
             if args.ref_tag else None

@@ -271,3 +271,29 @@ def test_mdqm9_results_full_report_cli(tmp_path):
     saved = {p.name[:-4] for p in (tmp_path / "results").glob("*.npy")}
     missing = REFERENCE_00031_ARTIFACTS - saved
     assert not missing, f"missing reference artifacts: {sorted(missing)}"
+
+    # the 10506 figure path from the same artifacts: marginals vs the MD
+    # reference (incl. the bond_lengths_md_1 naming-quirk fallback) + TICA,
+    # reweighted with the report's saved weights (results_10506.py +
+    # 10506_marginals.ipynb shape)
+    r = run([
+        "scripts/mdqm9_plots.py", "--results_dir", str(tmp_path / "results"),
+        "--tag", "md_ti_1", "--ref_tag", "md_T1",
+        "--weights", "weights_md_ti", "--lag", "2",
+        "--out", str(tmp_path / "figures"),
+    ])
+    for fig in ("torsions_md_ti_1", "bond_angles_md_ti_1",
+                "bond_lengths_md_ti_1", "tica_md_ti_1"):
+        assert (tmp_path / "figures" / f"{fig}.png").exists(), fig
+
+    # weights/marginals mismatch fails with both paths named (ADVICE r1)
+    np.save(tmp_path / "results" / "weights_short.npy", np.ones(7))
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py",
+         "--results_dir", str(tmp_path / "results"),
+         "--tag", "md_ti_0", "--weights", "weights_short",
+         "--out", str(tmp_path / "figures2")],
+        cwd=REPO, env=ENV, capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "length mismatch" in r.stderr
