@@ -47,6 +47,12 @@ def main(argv=None):
     )
     ap.add_argument("--no_merge", action="store_true", help="launch only")
     ap.add_argument(
+        "--fail_fast", action="store_true",
+        help="on the first nonzero shard exit, stop dispatching pending "
+        "shards and kill running ones instead of letting the doomed "
+        "fan-out run to completion",
+    )
+    ap.add_argument(
         "--delete", action="store_true", help="remove shard artifacts after merge"
     )
     ap.add_argument(
@@ -98,6 +104,20 @@ def main(argv=None):
                 log.close()
                 codes[i] = p.returncode
                 print(f"[fanout] shard {i} exited {p.returncode}")
+            if args.fail_fast and any(c != 0 for c in codes.values()):
+                if pending or running:
+                    print(
+                        f"[fanout] --fail_fast: abandoning {len(pending)} "
+                        f"pending and killing {len(running)} running shards",
+                        file=sys.stderr,
+                    )
+                pending.clear()
+                for i, (p, log) in list(running.items()):
+                    p.kill()
+                    p.wait()
+                    log.close()
+                    codes[i] = p.returncode
+                    running.pop(i)
     finally:
         for i, (p, log) in running.items():
             p.kill()

@@ -113,17 +113,39 @@ def main(argv):
     from ti_tpu.train.ambient import build_ambient_model
 
     params_path = os.path.join(args.out_dir, "oracle_params")
+    # arch flags that shape the checkpoint — recorded on save, asserted on
+    # --reuse so a mismatched rerun fails with the flag diff instead of an
+    # opaque flax shape error (ADVICE r1)
+    arch = {
+        "features": args.features, "layers": args.layers,
+        "temp_length": args.temp_length, "atoms": args.atoms,
+    }
     if args.reuse and os.path.exists(params_path):
+        ckpt = train_common.load_checkpoint(params_path)
+        saved_arch = ckpt.get("arch")
+        diff = {}
+        if saved_arch is not None:  # orbax may restore scalars as 0-d arrays
+            diff = {
+                k: (saved_arch.get(k), arch[k])
+                for k in arch
+                if saved_arch.get(k) is None
+                or float(np.asarray(saved_arch[k])) != float(arch[k])
+            }
+        if diff:
+            raise SystemExit(
+                f"--reuse architecture mismatch vs {params_path}: "
+                f"{diff} (saved, requested). Re-run without --reuse or "
+                "match the flags the checkpoint was trained with."
+            )
         model = build_ambient_model(cfg)
         template = ds0.template
-        params = train_common.load_checkpoint(params_path)["params"]
-        res = {"model": model, "params": params, "template": template}
+        res = {"model": model, "params": ckpt["params"], "template": template}
         print(f"reusing trained params from {params_path}", file=sys.stderr)
     else:
         res = train_ambient(cfg, ds0, ds1)
         print("final train losses:", [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
               file=sys.stderr)
-        train_common.save_checkpoint(params_path, {"params": res["params"]})
+        train_common.save_checkpoint(params_path, {"params": res["params"], "arch": arch})
 
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
 

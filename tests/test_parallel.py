@@ -188,6 +188,47 @@ def test_fanout_driver_launch_and_merge(tmp_path):
     assert "FAILED shard 1" in r.stderr
 
 
+def test_fanout_driver_fail_fast(tmp_path):
+    """--fail_fast: the first nonzero shard exit abandons pending shards
+    and kills running ones instead of letting the fan-out run to
+    completion (ADVICE r1)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stub = tmp_path / "stub.py"
+    stub.write_text(
+        "import argparse, sys, time, pathlib\n"
+        "ap = argparse.ArgumentParser()\n"
+        "ap.add_argument('--out', required=True)\n"
+        "ap.add_argument('--shard', type=int, required=True)\n"
+        "ap.add_argument('--num_shards', type=int, required=True)\n"
+        "a = ap.parse_args()\n"
+        "if a.shard == 0:\n"
+        "    sys.exit(3)\n"
+        "time.sleep(30)\n"
+        "pathlib.Path(a.out, f'finished_{a.shard}').touch()\n"
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "scripts/fanout_driver.py", "--num_shards", "3",
+         "--data_dir", str(out), "--max_parallel", "2", "--fail_fast",
+         "--no_merge",
+         "--", sys.executable, str(stub), "--out", str(out)],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+    )
+    elapsed = time.time() - t0
+    assert r.returncode == 1
+    assert "FAILED shard 0" in r.stderr
+    assert "--fail_fast" in r.stderr
+    assert elapsed < 20, f"fan-out ran to completion anyway ({elapsed:.0f}s)"
+    assert not list(out.glob("finished_*")), "healthy shards were not killed"
+
+
 def test_fanout_end_to_end_sampling(tmp_path):
     """Two sharded sample_ambient runs + merge == artifact layout of one
     unsharded run (shapes; disjoint RNG streams)."""

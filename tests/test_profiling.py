@@ -75,3 +75,18 @@ def test_busy_time_merges_nested_spans():
     assert {o.name: o.total_us for o in lane.ops} == {
         "parent": 100.0, "child": 20.0, "late": 50.0
     }
+
+
+def test_load_trace_uncompressed_direct_path(tmp_path):
+    """find_trace_file accepts a direct file path that may be plain JSON;
+    load_trace sniffs the gzip magic instead of crashing with BadGzipFile
+    (ADVICE r1)."""
+    import json
+
+    from ti_tpu.utils.profiling import load_trace
+
+    p = tmp_path / "run.trace.json"
+    payload = {"traceEvents": [{"ph": "X", "pid": 1, "tid": 1,
+                                "name": "op", "ts": 0.0, "dur": 5.0}]}
+    p.write_text(json.dumps(payload))
+    assert load_trace(str(p)) == payload

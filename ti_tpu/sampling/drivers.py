@@ -80,22 +80,33 @@ def make_ode_sampler(
     8 nodes match Simpson-21+; integrators.sample_ode_gauss_dlogp).
     """
 
-    if (
-        return_dlogp and dlogp_quad_points is None and steps_per_dispatch is None
-        and solver != "dopri5" and n_steps > 32
-    ):
+    # deadline warnings are conditioned on divergence='exact': hutchinson
+    # runs one tangent lane and sits far from any dispatch deadline
+    if return_dlogp and dlogp_quad_points is None and divergence == "exact":
         import sys
 
-        print(
-            "[ti_tpu] WARNING: stage-coupled exact-dlogp transport with "
-            f"n_steps={n_steps} runs the full divergence inside EVERY solver "
-            "stage in ONE device dispatch — on remote/tunneled TPUs this can "
-            "exceed the execution deadline and crash the worker. Set "
-            "steps_per_dispatch= to bound each dispatch, or use the "
-            "quadrature-decoupled dlogp (dlogp_quad_points=8, "
-            "dlogp_quad='gauss' — the benchmarked fast path).",
-            file=sys.stderr,
-        )
+        if solver == "dopri5":
+            print(
+                "[ti_tpu] WARNING: dopri5 with exact dlogp runs an UNBOUNDED "
+                "adaptive NFE count (full divergence per RHS eval) in one "
+                "device dispatch — steps_per_dispatch cannot bound it. On "
+                "remote/tunneled TPUs prefer a fixed-step solver with the "
+                "quadrature-decoupled dlogp (solver='rk4', "
+                "dlogp_quad_points=8, dlogp_quad='gauss' — the benchmarked "
+                "fast path), or divergence='hutchinson'.",
+                file=sys.stderr,
+            )
+        elif steps_per_dispatch is None and n_steps > 32:
+            print(
+                "[ti_tpu] WARNING: stage-coupled exact-dlogp transport with "
+                f"n_steps={n_steps} runs the full divergence inside EVERY "
+                "solver stage in ONE device dispatch — on remote/tunneled "
+                "TPUs this can exceed the execution deadline and crash the "
+                "worker. Set steps_per_dispatch= to bound each dispatch, or "
+                "use the quadrature-decoupled dlogp (dlogp_quad_points=8, "
+                "dlogp_quad='gauss' — the benchmarked fast path).",
+                file=sys.stderr,
+            )
 
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":

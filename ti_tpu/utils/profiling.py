@@ -61,10 +61,15 @@ def find_trace_file(logdir: str) -> str:
 def load_trace(path_or_logdir: str) -> dict:
     path = (
         path_or_logdir
-        if path_or_logdir.endswith(".gz") and os.path.isfile(path_or_logdir)
+        if os.path.isfile(path_or_logdir)
         else find_trace_file(path_or_logdir)
     )
-    with gzip.open(path, "rt") as f:
+    # find_trace_file accepts direct paths that may be uncompressed
+    # .trace.json files — sniff the gzip magic instead of trusting the name
+    with open(path, "rb") as f:
+        is_gz = f.read(2) == b"\x1f\x8b"
+    opener = gzip.open if is_gz else open
+    with opener(path, "rt") as f:
         return json.load(f)
 
 
