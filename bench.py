@@ -54,12 +54,19 @@ def main(quick: bool = False):
     model = CPaiNN(n_features=128, score_layers=5, temp_length=100.0, conditioning="ambient")
     params = model.init(jax.random.PRNGKey(0), template)
 
+    # dense-pair impl, aggressive bf16 compute ("bf16_agg": bf16 operands
+    # AND bf16 dot outputs, f32 MXU accumulation + f32 LN stats) — 1.29x
+    # on the divergence node vs the round-1 bf16 profile (232->180 ms at
+    # 64 chains), physics-qualified on a trained field: dF oracle err
+    # 0.0172 vs 0.0154 f32 (same statistical floor), dlogp mean shift
+    # +1.2e-3, rms 3.7e-3 (validate_mdqm9_physics --reuse
+    # --compute_dtype all). Round-1 profile notes follow:
     # dense-pair impl, bf16 mixed-precision compute (params f32, f32 dot
     # accumulation): physics-qualified on a trained field — dF oracle error
     # 8.7e-3 bf16 vs 8.3e-3 f32 (same statistical floor), dlogp rms shift
     # 3e-3 (scripts/validate_mdqm9_physics.py --compute_dtype both); 1.20x
     # on the divergence node (ROADMAP item 2, BASELINE.md)
-    v_fn_of = molecular_v_fn_of(model, params, template, compute_dtype=jnp.bfloat16)
+    v_fn_of = molecular_v_fn_of(model, params, template, compute_dtype="bf16_agg")
     # reference-shape denominator keeps the reference's per-edge
     # gather/scatter formulation (impl="edge")
     v_fn_of_edge = molecular_v_fn_of(model, params, template, impl="edge")

@@ -81,6 +81,8 @@ def main():
     print(f"div nochunk   batch={chains}: {t_div_nc*1e3:8.2f} ms")
     t_div_bf = timed(div("dense", None, jnp.bfloat16), x, reps=4)
     print(f"div bf16      batch={chains}: {t_div_bf*1e3:8.2f} ms  ({t_div_nc/t_div_bf:.2f}x vs f32; headline path)")
+    t_div_agg = timed(div("dense", None, "bf16_agg"), x, reps=4)
+    print(f"div bf16agg   batch={chains}: {t_div_agg*1e3:8.2f} ms  ({t_div_bf/t_div_agg:.2f}x vs bf16; bf16 dot outputs)")
     t_div_f = timed(div("dense_fused", None), x, reps=4)
     print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
 

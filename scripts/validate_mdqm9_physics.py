@@ -62,7 +62,7 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
-    ap.add_argument("--compute_dtype", choices=["f32", "bf16", "both"], default="f32",
+    ap.add_argument("--compute_dtype", choices=["f32", "bf16", "bf16_agg", "both", "all"], default="f32",
                     help="sampling-path compute dtype (bf16 = mixed-precision "
                          "pair-grid compute, ROADMAP item 2; training stays "
                          "f32). 'both' evaluates f32 AND bf16 transport on the "
@@ -150,9 +150,9 @@ def main(argv):
     x0 = make_synthetic_frames(mol, 1024, T0, seed=999, jitter=args.jitter)
 
     def v_fn_of_dtype(name):
+        cd = {"f32": None, "bf16": jnp.bfloat16, "bf16_agg": "bf16_agg"}[name]
         return molecular_v_fn_of(
-            res["model"], res["params"], res["template"],
-            compute_dtype=jnp.bfloat16 if name == "bf16" else None,
+            res["model"], res["params"], res["template"], compute_dtype=cd,
         )
 
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
@@ -175,7 +175,9 @@ def main(argv):
             lps.append(np.asarray(sol.dlogp[:, -1]))
         return np.concatenate(xs), np.concatenate(lps)
 
-    headline_dtype = "bf16" if args.compute_dtype == "bf16" else "f32"
+    headline_dtype = (
+        args.compute_dtype if args.compute_dtype in ("bf16", "bf16_agg") else "f32"
+    )
     x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp, headline_dtype)
     # step-count study on the SAME trained field (bench-config GL-10 path):
     # report the oracle error per step count (stderr; headline uses [0])
@@ -211,14 +213,15 @@ def main(argv):
         )
 
     dtype_report = {}
-    if args.compute_dtype == "both":
-        x1_b, dlogp_b = transport(args.eval_steps[0], args.quad_dlogp, "bf16")
-        dtype_report = {
-            "dF_abs_err_bf16": oracle_err(x1_b, dlogp_b),
-            "dlogp_mean_shift_bf16": float(np.mean(dlogp_b - dlogp)),
-            "dlogp_rms_shift_bf16": float(np.sqrt(np.mean((dlogp_b - dlogp) ** 2))),
-            "x1_rms_shift_bf16": float(np.sqrt(np.mean((x1_b - x1) ** 2))),
-        }
+    study = {"both": ["bf16"], "all": ["bf16", "bf16_agg"]}.get(args.compute_dtype, [])
+    for name in study:
+        x1_b, dlogp_b = transport(args.eval_steps[0], args.quad_dlogp, name)
+        dtype_report.update({
+            f"dF_abs_err_{name}": oracle_err(x1_b, dlogp_b),
+            f"dlogp_mean_shift_{name}": float(np.mean(dlogp_b - dlogp)),
+            f"dlogp_rms_shift_{name}": float(np.sqrt(np.mean((dlogp_b - dlogp) ** 2))),
+            f"x1_rms_shift_{name}": float(np.sqrt(np.mean((x1_b - x1) ** 2))),
+        })
 
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_start": sigma(T0),

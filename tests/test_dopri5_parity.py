@@ -75,3 +75,59 @@ def test_dopri5_stiffening_field_step_adaptation():
     ratio_scipy = counts[30.0][1] / counts[1.0][1]
     assert ratio_ours > 1.3
     assert 0.4 < ratio_ours / ratio_scipy < 2.5
+
+
+def test_dopri5_per_state_tolerances():
+    """(atol, rtol) may be (x, dlogp) pairs — the per-state tolerance lists
+    the reference passes to torchdiffeq (adw/thermo/integrators.py:49-55).
+
+    Field v(x, t) = -x (1 + 0.9 sin(20 pi t)): the divergence oscillates
+    fast, so a tight dlogp tolerance forces small steps while the x
+    trajectory itself is easy. Loosening ONLY the dlogp tolerance must cut
+    the adaptive cost without moving x — and match scipy's RK45 driven
+    with the same vector atol on the joint (x, dlogp) system.
+    """
+    def v_fn(x, t):
+        return -x * (1.0 + 0.9 * jnp.sin(20 * jnp.pi * t))
+
+    x0 = jnp.asarray([1.5], jnp.float32)
+    tight = sample_ode_dopri5(
+        v_fn, x0, atol=1e-7, rtol=1e-7, return_dlogp=True
+    )
+    loose = sample_ode_dopri5(
+        v_fn, x0, atol=(1e-7, 1e-2), rtol=(1e-7, 1e-2), return_dlogp=True
+    )
+    # same x trajectory endpoint; dlogp still accurate to its own tolerance
+    np.testing.assert_allclose(
+        np.asarray(loose.xs[-1]), np.asarray(tight.xs[-1]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(loose.dlogp[-1]), float(tight.dlogp[-1]), atol=5e-2
+    )
+    assert int(loose.nfe) < int(tight.nfe), (int(loose.nfe), int(tight.nfe))
+
+    # scipy joint system with the same vector atol (rtol scalar: scipy
+    # requires it); our dlogp integrates -div (integrators.py rhs)
+    def joint(t, y):
+        c = 1.0 + 0.9 * np.sin(20 * np.pi * t)
+        return [-y[0] * c, c]  # -div = +c in 1-D
+
+    sp = solve_ivp(
+        joint, (0.0, 1.0), [1.5, 0.0], method="RK45",
+        atol=np.array([1e-7, 1e-2]), rtol=1e-7,
+    )
+    ours = sample_ode_dopri5(
+        v_fn, x0, atol=(1e-7, 1e-2), rtol=1e-7, return_dlogp=True
+    )
+    np.testing.assert_allclose(float(ours.xs[-1][0]), sp.y[0, -1], atol=1e-4)
+    np.testing.assert_allclose(float(ours.dlogp[-1]), sp.y[1, -1], atol=5e-2)
+    nfe = int(ours.nfe)
+    assert nfe <= 2.0 * sp.nfev + 50, (nfe, sp.nfev)
+
+
+def test_dopri5_rejects_bad_tolerance_shape():
+    with pytest.raises(ValueError, match="pair"):
+        sample_ode_dopri5(
+            lambda x, t: -x, jnp.ones((2,), jnp.float32),
+            atol=(1e-5, 1e-5, 1e-5), rtol=1e-5, return_dlogp=True,
+        )

@@ -65,6 +65,7 @@ def test_fused_mlp_interpret_matches(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_forward_matches_model_apply():
     """apply_fused == vmap(model.apply) on the same parameter tree."""
     from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
@@ -175,6 +176,7 @@ def test_fused_edge_mlp_diff_linearize(setup):
     np.testing.assert_allclose(np.asarray(dgot_w), np.asarray(dref_w), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_fused_divergence_matches_unfused():
     """apply_dense(fused=True) forward + exact divergence == fused=False."""
     from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
@@ -210,6 +212,7 @@ def test_dense_fused_divergence_matches_unfused():
 
 
 @pytest.mark.parametrize("lane_chunk", [None, 5])
+@pytest.mark.slow
 def test_hand_jvp_divergence_matches_linearize(lane_chunk):
     """ops/dense_divergence (hand-propagated lane-batched tangents) must
     reproduce divergence_exact over apply_dense bit-for-tolerance."""
@@ -290,6 +293,7 @@ def test_dense_forward_matches_model_apply():
 
 
 @pytest.mark.parametrize("lanes_per_chunk", [4, 6])
+@pytest.mark.slow
 def test_divergence_kernel_matches_linearize(lanes_per_chunk):
     """Whole-net divergence kernel (interpret mode) == divergence_exact."""
     from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
@@ -321,6 +325,7 @@ def test_divergence_kernel_matches_linearize(lanes_per_chunk):
     np.testing.assert_allclose(np.asarray(divs), refs, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype_parity():
     """apply_dense(compute_dtype=bf16): f32 params/IO, bf16 pair-grid
     compute — forward and exact divergence stay within bf16-roundoff of the
@@ -361,6 +366,48 @@ def test_bf16_compute_dtype_parity():
     assert abs(d32 - d16) / abs(d32) < 0.03, (d32, d16)
 
 
+@pytest.mark.slow
+def test_bf16_agg_compute_dtype_parity():
+    """compute_dtype='bf16_agg' (bf16 dot outputs, f32 MXU accumulation and
+    LN statistics — the bench headline profile) stays within bf16-roundoff
+    of full precision at random init; trained-field physics qualification
+    in BASELINE.md (dF oracle error at the f32 statistical floor)."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.models.cpainn_dense import apply_dense
+    from ti_tpu.ops.divergence import divergence_exact
+
+    mol = make_synthetic_molecule(n_atoms=9, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=32, score_layers=3, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (4, 9, 3))
+    t = jnp.full((4,), 0.5)
+    temps = jnp.tile(jnp.array([1000.0, 300.0]), (4, 1))
+
+    y32 = apply_dense(model, params, xs, t, temps, template.atom_ids, template.edges)
+    ya = apply_dense(
+        model, params, xs, t, temps, template.atom_ids, template.edges,
+        compute_dtype="bf16_agg",
+    )
+    assert ya.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(y32 - ya) / jnp.linalg.norm(y32))
+    assert rel < 0.08, rel  # random-init magnitudes overstate trained error
+
+    def v_of(cd):
+        def g(y):
+            return apply_dense(
+                model, params, y[None], t[:1], temps[:1],
+                template.atom_ids, template.edges, compute_dtype=cd,
+            )[0]
+        return g
+
+    d32 = float(divergence_exact(v_of(None), xs[0])[1])
+    da = float(divergence_exact(v_of("bf16_agg"), xs[0])[1])
+    assert abs(d32 - da) / abs(d32) < 0.06, (d32, da)
+
+
+@pytest.mark.slow
 def test_fused_rejects_compute_dtype():
     """fused=True + compute_dtype is an explicit error (kernel out_shape
     follows the cast input dtype while its body computes f32)."""

@@ -245,6 +245,7 @@ def test_atom_order_ring_with_branch():
     _assert_roundtrip(adjacency_from_bonds(nat, bi), nat)
 
 
+@pytest.mark.slow
 def test_atom_order_random_polycyclic_graphs():
     """Property test: random connected graphs with extra ring-closing edges
     (multi-ring, fused, bridged) all yield valid orderings + exact

@@ -77,7 +77,10 @@ def apply_dense(
     p = params["params"]
     f = model.n_features
     b, n, _ = x.shape
-    cd = compute_dtype
+    # "bf16_agg": the aggressive tangent-lane profile — bf16 dot OUTPUTS
+    # (f32 MXU accumulation) on top of the bf16-operand mixed profile
+    bf16_out = compute_dtype == "bf16_agg"
+    cd = jnp.bfloat16 if bf16_out else compute_dtype
     if fused and cd is not None:
         raise ValueError(
             "fused=True is incompatible with compute_dtype: the Pallas edge "
@@ -91,7 +94,7 @@ def apply_dense(
     def mlp(rows, subtree):
         return _mlp_block(
             c(rows), mlp_weights_from_flax(subtree), compute_dtype=cd,
-            remat_ln=remat_ln,
+            remat_ln=remat_ln, bf16_out=bf16_out,
         )
 
     if fused:

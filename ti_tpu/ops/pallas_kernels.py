@@ -70,7 +70,22 @@ def _ln_silu_block(h, scale, bias):
 _ln_silu_remat = jax.checkpoint(_ln_silu_block)
 
 
-def _mlp_block(x, w: MLPWeights, compute_dtype=None, remat_ln: bool = False):
+def _ln_silu_block_agg(h, scale, bias):
+    """LN -> SiLU with f32 statistics but low-precision storage: the input
+    stays bf16 in HBM, the f32 upcast/stats/normalize are one fused
+    elementwise segment, and the output is written back in the input dtype.
+    Used by the aggressive bf16 profile (bf16_out=True below)."""
+    h32 = h.astype(jnp.float32)
+    mu = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean((h32 - mu) ** 2, axis=-1, keepdims=True)
+    l = (h32 - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return jax.nn.silu(l).astype(h.dtype)
+
+
+def _mlp_block(
+    x, w: MLPWeights, compute_dtype=None, remat_ln: bool = False,
+    bf16_out: bool = False,
+):
     """The MLP body on a VMEM tile (shared by kernel and reference).
 
     ``compute_dtype=jnp.bfloat16`` feeds the three matmuls bf16 operands
@@ -80,8 +95,24 @@ def _mlp_block(x, w: MLPWeights, compute_dtype=None, remat_ln: bool = False):
     for the HBM-bound divergence tangents (see models/cpainn_dense.py).
     ``remat_ln`` swaps the LN->SiLU segments for their checkpointed form
     (residuals = segment inputs only; see _ln_silu_remat).
+    ``bf16_out`` is the aggressive profile: dot OUTPUTS are stored in the
+    compute dtype too (MXU still accumulates f32 internally), biases are
+    cast so the add does not re-promote, and LN statistics are computed in
+    a fused f32 segment over bf16-stored activations — halving the HBM
+    footprint of every hidden activation (and of its tangent under
+    jax.linearize).
     """
     cd = compute_dtype
+    if bf16_out and cd is not None:
+        def c(a):
+            return a.astype(cd)
+
+        h = jnp.dot(c(x), c(w.w1)) + c(w.b1)
+        h = _ln_silu_block_agg(h, w.ln1_scale, w.ln1_bias)
+        h = jnp.dot(h, c(w.w2)) + c(w.b2)
+        h = _ln_silu_block_agg(h, w.ln2_scale, w.ln2_bias)
+        return jnp.dot(h, c(w.w3)) + c(w.b3)
+
     ln_silu = _ln_silu_remat if remat_ln else _ln_silu_block
 
     def c(a):

@@ -35,7 +35,10 @@ def _compute_dtype(cfg):
         return None
     if name in ("bf16", "bfloat16"):
         return jnp.bfloat16
-    raise ValueError(f"unknown compute_dtype {name!r} (use f32 or bf16)")
+    if name == "bf16_agg":
+        # aggressive profile: bf16 dot outputs too (models/cpainn_dense)
+        return "bf16_agg"
+    raise ValueError(f"unknown compute_dtype {name!r} (use f32, bf16 or bf16_agg)")
 
 
 def make_ode_sampler(

@@ -240,8 +240,24 @@ def dopri5_stepper(
     # f32-appropriate completion tolerance (1e-12 never triggers in f32)
     t_eps = 10.0 * float(jnp.finfo(dtype).eps)
 
+    def tol_vec(tol):
+        """Scalar tolerance, or an (x, dlogp) pair expanded over the joint
+        flattened state — the per-state tolerance lists the reference
+        passes to torchdiffeq (adw/thermo/integrators.py:49-55)."""
+        arr = jnp.asarray(tol, dtype)
+        if arr.ndim == 0:
+            return arr
+        if arr.shape != (2,):
+            raise ValueError(
+                f"tolerance must be a scalar or an (x, dlogp) pair, got "
+                f"shape {arr.shape}"
+            )
+        return jnp.concatenate([jnp.full((d,), arr[0], dtype), arr[1:2]])
+
+    atol_v, rtol_v = tol_vec(atol), tol_vec(rtol)
+
     def err_norm(err, y, y_new):
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        scale = atol_v + rtol_v * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
     def init(x0, dlogp0=None):
