@@ -129,6 +129,7 @@ def test_resample_with_weights_bias():
     assert out.mean() > 0.95
 
 
+@pytest.mark.slow
 def test_reweighted_generator_spectrum_harmonic_oracle():
     """End-to-end reweighting -> gEDMD against an ANALYTIC answer: for
     V = x^2/2 the Langevin generator spectrum is -n (beta-independent), so

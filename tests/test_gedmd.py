@@ -79,6 +79,7 @@ def test_koopman_spectrum_ou():
     np.testing.assert_allclose(np.real(d), expected, atol=0.08)
 
 
+@pytest.mark.slow
 def test_bootstrap_generator_matches_point_estimate():
     X = _stationary_samples(3000)
     Omega = sample_rff_gaussian(4, 1, 50, 0.8)

@@ -76,6 +76,7 @@ def mol_setup():
     return model, params, template
 
 
+@pytest.mark.slow
 def test_molecular_loss_two_sided(mol_setup):
     model, params, template = mol_setup
     key = jax.random.PRNGKey(1)
@@ -116,6 +117,7 @@ def test_molecular_loss_one_sided_skips_minus(mol_setup):
     assert jnp.isfinite(val)
 
 
+@pytest.mark.slow
 def test_t_distr_variants(mol_setup):
     model, params, template = mol_setup
     key = jax.random.PRNGKey(1)

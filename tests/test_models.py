@@ -92,6 +92,7 @@ def test_cpainn_temperature_conditioning_matters():
     assert float(jnp.max(jnp.abs(out1 - out2))) > 1e-5
 
 
+@pytest.mark.slow
 def test_cpainn_vmaps_over_batch():
     g = _graph(jax.random.PRNGKey(0))
     model = _model()

@@ -134,6 +134,7 @@ def test_edge_jvp_kernel_interpret_matches(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_edge_mlp_diff_linearize(setup):
     """custom_jvp wrapper: linearize tangents == reference tangents; weight
     tangents fall back to the jnp JVP."""
@@ -249,6 +250,7 @@ def test_hand_jvp_divergence_matches_linearize(lane_chunk):
         np.testing.assert_allclose(float(div), float(div_ref), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_dense_forward_matches_model_apply():
     """Dense (N x N) pair formulation == vmap(model.apply), and its exact
     divergence matches too (it must serve the dlogp path)."""

@@ -138,6 +138,7 @@ def test_fanout_merge_artifacts(tmp_path):
         merge_shards(str(d), 2)
 
 
+@pytest.mark.slow
 def test_fanout_driver_launch_and_merge(tmp_path):
     """scripts/fanout_driver.py: spawns one process per shard (appending
     --shard/--num_shards), streams logs, merges; a failing shard aborts the
@@ -188,6 +189,7 @@ def test_fanout_driver_launch_and_merge(tmp_path):
     assert "FAILED shard 1" in r.stderr
 
 
+@pytest.mark.slow
 def test_fanout_driver_fail_fast(tmp_path):
     """--fail_fast: the first nonzero shard exit abandons pending shards
     and kills running ones instead of letting the fan-out run to
@@ -229,6 +231,7 @@ def test_fanout_driver_fail_fast(tmp_path):
     assert not list(out.glob("finished_*")), "healthy shards were not killed"
 
 
+@pytest.mark.slow
 def test_fanout_end_to_end_sampling(tmp_path):
     """Two sharded sample_ambient runs + merge == artifact layout of one
     unsharded run (shapes; disjoint RNG streams)."""

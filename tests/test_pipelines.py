@@ -32,6 +32,7 @@ from ti_tpu.analysis.sort_atoms import adjacency_from_bonds
 from ti_tpu.data.mdqm9 import make_synthetic_frames, make_synthetic_molecule
 
 
+@pytest.mark.slow
 def test_direct_reweighting_recovers_target_spectrum():
     """Reweight beta=2 MD samples to beta=1 and check the gEDMD spectrum is
     closer to the beta=1 direct estimate than the unweighted one would be.
@@ -236,6 +237,7 @@ def test_generate_full_report_partial_sources(tmp_path):
     assert (tmp_path / "torsions_bg_ref_T0.npy").exists()
 
 
+@pytest.mark.slow
 def test_generate_full_report_10506_extras(tmp_path):
     """The 10506 report's additions: z_matrix_* arrays and torsions_h5_md
     (results_10506.py:51-52,90-97)."""

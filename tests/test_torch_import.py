@@ -10,6 +10,8 @@ true golden test of the import path and of our MLP layer semantics.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

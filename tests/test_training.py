@@ -97,6 +97,7 @@ def _tiny_cfg(tmp, **kw):
     return MDQM9Config(**base)
 
 
+@pytest.mark.slow
 def test_ambient_training_and_sampling(mol_data, tmp_path):
     mol, frames = mol_data
     cfg = _tiny_cfg(tmp_path)
@@ -133,6 +134,7 @@ def test_ambient_training_and_sampling(mol_data, tmp_path):
     assert np.max(np.abs(out16["dlogps"] - out["dlogps"])) < 0.5
 
 
+@pytest.mark.slow
 def test_latent_training_and_sampling(mol_data, tmp_path):
     mol, frames = mol_data
     cfg = _tiny_cfg(tmp_path, n_latent_samples=16)
@@ -147,6 +149,7 @@ def test_latent_training_and_sampling(mol_data, tmp_path):
     assert np.all(np.isfinite(out["samples"]))
 
 
+@pytest.mark.slow
 def test_latent_single_temperature_unconditioned(mol_data, tmp_path):
     mol, frames = mol_data
     cfg = _tiny_cfg(tmp_path, T=[400], n_epochs=1)
@@ -158,6 +161,7 @@ def test_latent_single_temperature_unconditioned(mol_data, tmp_path):
     assert all(np.isfinite(result["history"]["train_loss"]))
 
 
+@pytest.mark.slow
 def test_molecular_sde_batched_matches_euler_ode():
     """sample_molecular_sde with g=0 == the deterministic Euler ODE on the
     dense-pair drift, and the COM projection keeps chains on the zero-COM
@@ -202,6 +206,7 @@ def test_molecular_sde_batched_matches_euler_ode():
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out2), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_ambient_sampling_dopri5_default_solver(mol_data, tmp_path):
     """The config's DEFAULT solver (adaptive dopri5, the reference's
     setting) through the molecular driver: finite samples/dlogp, adaptive

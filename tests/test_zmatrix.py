@@ -64,6 +64,7 @@ def test_deconstruct_construct_identity_on_z():
     np.testing.assert_allclose(np.asarray(z_rec), z, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_jacobian_matches_numerical():
     """log|det J| of z -> cartesian (modulo the 6 rigid dofs) equals the
     accumulated blocks: check against numerical jacobian of the free dofs."""
@@ -226,12 +227,14 @@ def test_atom_order_pure_ring_no_terminals():
     _assert_roundtrip(adjacency_from_bonds(nat, bi), nat)
 
 
+@pytest.mark.slow
 def test_atom_order_fused_bicyclic():
     """Naphthalene-like fused rings: bridgehead atoms sit in two cycles."""
     nat, bi = _fused_bicyclic()
     _assert_roundtrip(adjacency_from_bonds(nat, bi), nat)
 
 
+@pytest.mark.slow
 def test_atom_order_ring_with_branch():
     """Toluene-like: 6-ring + CH3 branch + ring hydrogens."""
     # ring 0-5, methyl C=6 on ring atom 0, H 7-9 on C6, H 10-14 on ring 1-5
@@ -269,6 +272,7 @@ def test_atom_order_random_polycyclic_graphs():
         _assert_roundtrip(adj, n, seed=seed)
 
 
+@pytest.mark.slow
 def test_ring_jacobian_matches_numerical():
     """log|det J| on a ring molecule agrees with the numerical Jacobian of
     the NeRF reconstruction."""

@@ -83,6 +83,9 @@ class MDQM9Config:
     a: float = 1.0
     gamma: str = "sin2"
     t_distr: str = "uniform"
+    # remat the two loss forwards (extra FLOPs for activation memory;
+    # lifts the f32 batch ceiling — BASELINE.md training row)
+    loss_remat: int = 0
     # model
     cutoff: float = 1000.0
     temp_length: float = 100.0

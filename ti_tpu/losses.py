@@ -91,6 +91,7 @@ def molecular_velocity_loss(
     temps: Array,
     interpolant: Interpolant,
     t_distr: str = "uniform",
+    remat: bool = False,
 ) -> Array:
     """Antithetic velocity loss over a batch of molecules.
 
@@ -116,6 +117,12 @@ def molecular_velocity_loss(
     def fwd(x_m, t_m, temps_m):
         g = MolGraph(x=x_m, atom_ids=graph.atom_ids, t=t_m, temps=temps_m, edges=graph.edges)
         return apply_fn(params, g)
+
+    if remat:
+        # trade one extra forward for the activation memory of the two
+        # GNN forwards under reverse-mode grad — lifts the f32 batch-size
+        # ceiling (batch 1024 OOMs without it, BASELINE.md training row)
+        fwd = jax.checkpoint(fwd)
 
     btp = jax.vmap(fwd)(xtp, t, temps)  # (B, N, 3)
     dtIt = interpolant.dtIt(t3, x0, x1)

@@ -63,7 +63,8 @@ def train_latent(
 
     def loss_fn(p, k, x0, x1, temps):
         return molecular_velocity_loss(
-            model.apply, p, k, template, x0, x1, temps, interp, t_distr=cfg.t_distr
+            model.apply, p, k, template, x0, x1, temps, interp,
+            t_distr=cfg.t_distr, remat=getattr(cfg, "loss_remat", False),
         )
 
     tx = common.make_optimizer(weight_decay=cfg.weight_decay, clip=1.0)
