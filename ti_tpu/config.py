@@ -84,8 +84,13 @@ class MDQM9Config:
     gamma: str = "sin2"
     t_distr: str = "uniform"
     # remat the two loss forwards (extra FLOPs for activation memory;
-    # lifts the f32 batch ceiling — BASELINE.md training row)
+    # measured 1.29x slower at batch 256 and does NOT fix the batch-1024
+    # compile failure — prefer grad_accum; kept as an option)
     loss_remat: int = 0
+    # gradient-accumulation microbatches per optimizer step: the
+    # batch-scale mechanism (batch = grad_accum x microbatch; flat
+    # per-molecule cost measured to batch 4096 — BASELINE.md)
+    grad_accum: int = 1
     # model
     cutoff: float = 1000.0
     temp_length: float = 100.0

@@ -61,13 +61,43 @@ def init_train_state(params, tx: optax.GradientTransformation, lr: float) -> Tra
 
 
 def make_update_step(
-    loss_fn: Callable[..., Array], tx: optax.GradientTransformation
+    loss_fn: Callable[..., Array],
+    tx: optax.GradientTransformation,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jittable (state, key, *batch) -> (state, loss) update with the
-    NaN-guard built in. ``loss_fn(params, key, *batch) -> scalar``."""
+    NaN-guard built in. ``loss_fn(params, key, *batch) -> scalar``.
+
+    ``accum_steps > 1`` splits the batch into that many microbatches and
+    accumulates gradients in a ``lax.scan`` before ONE optimizer step —
+    the batch-scale mechanism on a single chip: the two-forward antithetic
+    loss OOMs the f32 compile above batch ~512, while accumulation keeps
+    activation memory at the microbatch size with flat per-molecule cost
+    (batch 1024/2048/4096 all ~1730-1750 mol/s vs 1700 at single-shot 256
+    on v5e; BASELINE.md training row). Each microbatch gets its own folded
+    key, so interpolation-time draws stay independent.
+    """
 
     def step(state: TrainState, key: Array, *batch) -> Tuple[TrainState, Array]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, *batch)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, key, *batch)
+        else:
+            micro = tuple(
+                a.reshape((accum_steps, a.shape[0] // accum_steps) + a.shape[1:])
+                for a in batch
+            )
+            keys = jax.random.split(key, accum_steps)
+
+            def one(carry, inp):
+                gsum, lsum = carry
+                k, *mb = inp
+                l, g = jax.value_and_grad(loss_fn)(state.params, k, *mb)
+                return (jax.tree.map(jnp.add, gsum, g), lsum + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(one, (zeros, 0.0), (keys,) + micro)
+            grads = jax.tree.map(lambda a: a / accum_steps, grads)
+            loss = loss / accum_steps
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p - state.lr * u, state.params, updates)
         ok = jnp.isfinite(loss)

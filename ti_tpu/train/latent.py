@@ -69,7 +69,9 @@ def train_latent(
 
     tx = common.make_optimizer(weight_decay=cfg.weight_decay, clip=1.0)
     state = common.init_train_state(params, tx, cfg.learning_rate)
-    update = common.make_update_step(loss_fn, tx)
+    update = common.make_update_step(
+        loss_fn, tx, accum_steps=getattr(cfg, "grad_accum", 1) or 1
+    )
 
     n_temp_cond = template.temps.shape[0]
 
