@@ -101,8 +101,13 @@ def main(quick: bool = False):
     # div_chunk bounds HBM for the tangent lanes.
     chains = 32 if quick else 64
     reps = 1
+    # RK4-16 trajectory (round 2): the trained-field step study shows
+    # 8/16/32/64 steps all sit at the same dF error floor (0.017-0.018,
+    # dlogp mean shifts <2e-4; validate_mdqm9_physics --reuse
+    # --eval_steps 64,32,16,8), matching the round-1 ADW result that
+    # RK4-16 equals dopri5@1e-5 global accuracy — 32 was 2x conservative.
     opt_sampler = make_ode_sampler(
-        v_fn_of, solver="rk4", n_steps=20 if quick else 32, n_save=2,
+        v_fn_of, solver="rk4", n_steps=10 if quick else 16, n_save=2,
         return_dlogp=True, divergence="exact", steps_per_dispatch=25,
         dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
     )
