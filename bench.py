@@ -99,7 +99,10 @@ def main(quick: bool = False):
     # 4*n_steps*(1+3N). steps_per_dispatch bounds each device call
     # (long single dispatches hit the tunnel's execution deadline);
     # div_chunk bounds HBM for the tangent lanes.
-    chains = 32 if quick else 64
+    # 128 chains (round 2): bf16_agg freed enough HBM that 128 beats 64
+    # by ~8% (39.9 -> 43.0 samples/s/chip measured); 256 fails the remote
+    # compile (helper OOM) — 128 is the sweet spot.
+    chains = 32 if quick else 128
     reps = 1
     # RK4-16 trajectory (round 2): the trained-field step study shows
     # 8/16/32/64 steps all sit at the same dF error floor (0.017-0.018,
