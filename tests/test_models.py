@@ -141,6 +141,32 @@ def test_cpainn_param_count_parity():
     assert total == expected
 
 
+def test_cpainn_atom_vocab_autosizes_past_25():
+    """Positional atom ids beyond the reference's 25-slot table stay finite.
+
+    Both reference pipelines feed arange(n_atoms) as atom ids
+    (mdqm9_ambient.py:219-220) into a 25-slot embedding (cpainn.py:28);
+    QM9 molecules reach 29 atoms, where torch would IndexError and a
+    fixed-size flax Embed would silently return NaN. n_types=None sizes
+    the table as max(25, n_atoms): (25, F) for small molecules (parameter
+    parity with the reference), (n, F) and finite output beyond."""
+    for n_atoms, expect_rows in [(6, 25), (29, 29)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (n_atoms, 3))
+        g = MolGraph(
+            x=x - x.mean(0),
+            atom_ids=jnp.arange(n_atoms, dtype=jnp.int32),
+            t=jnp.array(0.3),
+            temps=jnp.array([700.0, 300.0]),
+            edges=make_edge_table(n_atoms),
+        )
+        model = _model()
+        params = model.init(jax.random.PRNGKey(1), g)
+        table = params["params"]["atom_embed"]["embedding"]
+        assert table.shape == (expect_rows, F)
+        out = model.apply(params, g)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_positional_encoding_shape_and_order():
     x = jnp.array([0.5])
     enc = positional_encoding(x, 4, max_length=10.0)

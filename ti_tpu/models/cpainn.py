@@ -31,7 +31,7 @@ Reference quirks kept for parity (documented):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,7 +161,16 @@ class CPaiNN(nn.Module):
 
     n_features: int = 128
     score_layers: int = 5
-    n_types: int = 25
+    # Atom-id vocabulary. The reference defaults to 25 (cpainn.py:28) and
+    # never overrides it, but both pipelines use POSITIONAL atom ids
+    # (arange(n_atoms), mdqm9_ambient.py:219-220) — for a molecule with
+    # more than 25 atoms (QM9 goes up to 29) torch.nn.Embedding would
+    # crash with an IndexError, and flax's nn.Embed silently returns NaN
+    # (jnp.take fills out-of-bounds gathers). None (default) sizes the
+    # table as max(25, n_atoms) from the input graph: identical parameter
+    # shapes to the reference for every molecule the reference can run,
+    # and correct instead of NaN beyond 25 atoms.
+    n_types: Optional[int] = None
     n_edge_types: int = 4
     temp_length: float = 100.0
     time_length: float = 10.0
@@ -187,7 +196,8 @@ class CPaiNN(nn.Module):
 
         # invariant features accumulate by concatenation (embedding.py:68-86)
         e = nn.Embed(self.n_edge_types, f, name="edge_embed")(g.edges.edge_type)
-        feats = [nn.Embed(self.n_types, f, name="atom_embed")(g.atom_ids)]
+        n_types = self.n_types if self.n_types is not None else max(25, n)
+        feats = [nn.Embed(n_types, f, name="atom_embed")(g.atom_ids)]
 
         t_node = jnp.broadcast_to(jnp.asarray(g.t), (n,))
         if self.conditioning == "ambient":
