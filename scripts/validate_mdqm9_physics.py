@@ -62,6 +62,12 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
+    ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
+                    help="training forward impl (dense = the sampling hot "
+                         "path's batched pair formulation)")
+    ap.add_argument("--train_compute_dtype", choices=["f32", "bf16", "bf16_agg"],
+                    default="f32",
+                    help="training compute dtype (requires --train_impl dense)")
     ap.add_argument("--compute_dtype", choices=["f32", "bf16", "bf16_agg", "both", "all"], default="f32",
                     help="sampling-path compute dtype (bf16 = mixed-precision "
                          "pair-grid compute, ROADMAP item 2; training stays "
@@ -102,6 +108,7 @@ def main(argv):
         n_features=args.features, score_layers=args.layers, batch_size=args.batch,
         n_epochs=args.epochs, learning_rate=args.lr, gamma=args.gamma, a=args.a,
         temp_length=args.temp_length,
+        train_impl=args.train_impl, train_compute_dtype=args.train_compute_dtype,
         scale_trajs=False, T0s=t0_list, T1s=t1_list,
         model_save_path=f"{args.out_dir}/models", data_save_path=f"{args.out_dir}/out",
         use_wandb=False,

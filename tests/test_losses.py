@@ -136,3 +136,53 @@ def test_t_distr_variants(mol_setup):
             model.apply, params, jax.random.PRNGKey(2), template, x0, x1, temps, interp,
             t_distr="nope",
         )
+
+
+def test_molecular_loss_dense_impl_matches_edge(mol_setup):
+    """train_impl='dense': the batched (N x N) pair forward produces the
+    same loss AND gradients as the vmapped edge impl (same key -> identical
+    t/z draws), and the mixed-precision profiles stay close and finite."""
+    from ti_tpu.train.common import make_batched_apply
+
+    model, params, template = mol_setup
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (4, 5, 3))
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (4, 5, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (4, 1))
+    interp = interpolants.linear(a=1.0, gamma="sin2")
+
+    class Cfg:
+        train_impl = "dense"
+        train_compute_dtype = "f32"
+
+    def loss(p, batched):
+        return molecular_velocity_loss(
+            model.apply, p, jax.random.PRNGKey(2), template, x0, x1, temps,
+            interp, batched_apply_fn=batched,
+        )
+
+    v_edge, g_edge = jax.value_and_grad(loss)(params, None)
+    v_dense, g_dense = jax.value_and_grad(loss)(
+        params, make_batched_apply(Cfg, model, template)
+    )
+    np.testing.assert_allclose(float(v_dense), float(v_edge), rtol=2e-5)
+    for ge, gd in zip(jax.tree.leaves(g_edge), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(ge), rtol=2e-3, atol=2e-5)
+
+    for dtype_name in ("bf16", "bf16_agg"):
+        Cfg.train_compute_dtype = dtype_name
+        v_b, g_b = jax.value_and_grad(loss)(
+            params, make_batched_apply(Cfg, model, template)
+        )
+        assert jnp.isfinite(v_b)
+        assert abs(float(v_b) - float(v_edge)) < 0.05 * (1.0 + abs(float(v_edge)))
+        gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(g_b)))
+        assert jnp.isfinite(gnorm) and float(gnorm) > 0
+
+    # edge impl refuses mixed precision instead of silently ignoring it
+    class BadCfg:
+        train_impl = "edge"
+        train_compute_dtype = "bf16"
+
+    with pytest.raises(ValueError):
+        make_batched_apply(BadCfg, model, template)

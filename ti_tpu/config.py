@@ -91,6 +91,13 @@ class MDQM9Config:
     # batch-scale mechanism (batch = grad_accum x microbatch; flat
     # per-molecule cost measured to batch 4096 — BASELINE.md)
     grad_accum: int = 1
+    # training forward implementation: "edge" (per-molecule vmapped
+    # gather/scatter, reference-shaped) or "dense" (the sampling hot
+    # path's batched (N x N) pair formulation, cpainn_dense.apply_dense)
+    train_impl: str = "edge"
+    # training compute dtype (dense impl only): f32 / bf16 / bf16_agg —
+    # the same mixed-precision profiles as the sampling path
+    train_compute_dtype: str = "f32"
     # model
     cutoff: float = 1000.0
     temp_length: float = 100.0

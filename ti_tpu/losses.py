@@ -92,6 +92,7 @@ def molecular_velocity_loss(
     interpolant: Interpolant,
     t_distr: str = "uniform",
     remat: bool = False,
+    batched_apply_fn: Callable[..., Array] | None = None,
 ) -> Array:
     """Antithetic velocity loss over a batch of molecules.
 
@@ -103,6 +104,12 @@ def molecular_velocity_loss(
     Two-sided when ``interpolant.one_sided`` is False (ambient,
     mdqm9/thermo/ambient/losses.py:30-133), one-sided otherwise (latent,
     mdqm9/thermo/latent/losses.py:114-121).
+
+    ``batched_apply_fn(params, x (B,N,3), t (B,), temps (B,K)) -> (B,N,3)``
+    replaces the vmapped per-molecule ``apply_fn`` when given — the dense
+    (N x N) pair formulation (models/cpainn_dense.apply_dense), which is the
+    sampling hot path and supports mixed-precision compute for training
+    (config train_impl / train_compute_dtype).
     """
     b, n, _ = x0.shape
     tkey, zkey = jax.random.split(key)
@@ -114,24 +121,29 @@ def molecular_velocity_loss(
     xtp = xtp - jnp.mean(xtp.reshape(-1, 3), axis=0)
     xtm = xtm - jnp.mean(xtm.reshape(-1, 3), axis=0)
 
-    def fwd(x_m, t_m, temps_m):
-        g = MolGraph(x=x_m, atom_ids=graph.atom_ids, t=t_m, temps=temps_m, edges=graph.edges)
-        return apply_fn(params, g)
+    if batched_apply_fn is not None:
+        bfwd = lambda x_b, t_b, temps_b: batched_apply_fn(params, x_b, t_b, temps_b)
+    else:
+        def fwd(x_m, t_m, temps_m):
+            g = MolGraph(x=x_m, atom_ids=graph.atom_ids, t=t_m, temps=temps_m, edges=graph.edges)
+            return apply_fn(params, g)
+
+        bfwd = jax.vmap(fwd)
 
     if remat:
         # trade one extra forward for the activation memory of the two
         # GNN forwards under reverse-mode grad — lifts the f32 batch-size
         # ceiling (batch 1024 OOMs without it, BASELINE.md training row)
-        fwd = jax.checkpoint(fwd)
+        bfwd = jax.checkpoint(bfwd)
 
-    btp = jax.vmap(fwd)(xtp, t, temps)  # (B, N, 3)
+    btp = bfwd(xtp, t, temps)  # (B, N, 3)
     dtIt = interpolant.dtIt(t3, x0, x1)
 
     if interpolant.one_sided:
         per_atom = 0.5 * jnp.sum(btp**2, axis=-1) - jnp.sum(dtIt * btp, axis=-1)
         return jnp.mean(per_atom)
 
-    btm = jax.vmap(fwd)(xtm, t, temps)
+    btm = bfwd(xtm, t, temps)
     gd = interpolant.gamma_dot(t3)
     per_atom = (
         0.5 * jnp.sum(btp**2, axis=-1)

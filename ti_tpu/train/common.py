@@ -115,6 +115,43 @@ def make_update_step(
     return step
 
 
+def make_batched_apply(cfg, model, template):
+    """Training-forward selector (config train_impl / train_compute_dtype).
+
+    Returns ``None`` for the default "edge" impl (the loss vmaps
+    ``model.apply`` per molecule), or a batched
+    ``(params, x (B,N,3), t (B,), temps (B,K)) -> (B,N,3)`` closure over the
+    dense (N x N) pair formulation — the sampling hot path — optionally in
+    the bf16 / bf16_agg mixed-precision profiles (BASELINE.md).
+    """
+    impl = getattr(cfg, "train_impl", "edge")
+    dtype_name = getattr(cfg, "train_compute_dtype", "f32")
+    if impl == "edge":
+        if dtype_name != "f32":
+            raise ValueError(
+                "train_compute_dtype != f32 requires train_impl='dense' "
+                "(the edge impl has no mixed-precision profile)"
+            )
+        return None
+    if impl != "dense":
+        raise ValueError(f"unknown train_impl {impl!r} (use 'edge' or 'dense')")
+
+    from ti_tpu.models.cpainn_dense import apply_dense
+
+    cd = {"f32": None, "bf16": jnp.bfloat16, "bf16_agg": "bf16_agg"}
+    if dtype_name not in cd:
+        raise ValueError(f"unknown train_compute_dtype {dtype_name!r}")
+    compute_dtype = cd[dtype_name]
+
+    def batched_apply(params, x, t, temps):
+        return apply_dense(
+            model, params, x, t, temps, template.atom_ids, template.edges,
+            compute_dtype=compute_dtype,
+        )
+
+    return batched_apply
+
+
 @dataclasses.dataclass
 class ReduceLROnPlateau:
     """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (min mode,

@@ -61,10 +61,13 @@ def train_latent(
     key, init_key = jax.random.split(key)
     params = model.init(init_key, template)
 
+    batched_apply = common.make_batched_apply(cfg, model, template)
+
     def loss_fn(p, k, x0, x1, temps):
         return molecular_velocity_loss(
             model.apply, p, k, template, x0, x1, temps, interp,
             t_distr=cfg.t_distr, remat=getattr(cfg, "loss_remat", False),
+            batched_apply_fn=batched_apply,
         )
 
     tx = common.make_optimizer(weight_decay=cfg.weight_decay, clip=1.0)
