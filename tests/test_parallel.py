@@ -297,3 +297,52 @@ def test_headline_sampler_chain_sharded(mesh):
     np.testing.assert_allclose(
         np.asarray(plain.dlogp), np.asarray(sharded.dlogp), rtol=2e-5, atol=2e-6
     )
+
+
+def test_parallel_update_dense_molecular_loss(mesh):
+    """DP step with the dense-pair training impl (train_impl='dense')
+    == single-device: the batched (N x N) loss partitions over the data
+    mesh, including its global batch mean-centering (a cross-shard mean
+    XLA lowers to a collective)."""
+    from ti_tpu import interpolants
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.losses import molecular_velocity_loss
+    from ti_tpu.models.cpainn import CPaiNN
+    from ti_tpu.train import common
+
+    mol = make_synthetic_molecule(n_atoms=4, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    interp = interpolants.linear(a=1.0, gamma="sin2")
+
+    class Cfg:
+        train_impl = "dense"
+        train_compute_dtype = "f32"
+
+    batched = common.make_batched_apply(Cfg, model, template)
+
+    def loss_fn(p, k, x0, x1, temps):
+        return molecular_velocity_loss(
+            model.apply, p, k, template, x0, x1, temps, interp,
+            batched_apply_fn=batched,
+        )
+
+    tx = common.make_optimizer(weight_decay=0.0, clip=1.0)
+    state = common.init_train_state(params, tx, 1e-3)
+    update = common.make_update_step(loss_fn, tx)
+
+    key = jax.random.PRNGKey(3)
+    x0 = 0.3 * jax.random.normal(key, (16, 4, 3))
+    x1 = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (16, 4, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (16, 1))
+
+    s1, l1 = jax.jit(update)(state, key, x0, x1, temps)
+    pupdate = parallel_update(update, mesh)
+    s8, l8 = pupdate(
+        state, key, shard_batch(x0, mesh), shard_batch(x1, mesh),
+        shard_batch(temps, mesh),
+    )
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
