@@ -62,6 +62,12 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
+    ap.add_argument("--divergence", choices=["exact", "hutchinson"], default="exact",
+                    help="divergence estimator for the dlogp integrand "
+                         "(hutchinson: num_probes Rademacher JVP lanes "
+                         "instead of the 3N exact tangent basis)")
+    ap.add_argument("--num_probes", type=int, default=8,
+                    help="Hutchinson probe count (with --divergence hutchinson)")
     ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
                     help="training forward impl (dense = the sampling hot "
                          "path's batched pair formulation)")
@@ -167,7 +173,8 @@ def main(argv):
     def transport(n_steps, quad, dtype_name="f32"):
         sampler = make_ode_sampler(
             v_fn_of_dtype(dtype_name), solver="rk4", n_steps=n_steps, n_save=2,
-            return_dlogp=True, divergence="exact", steps_per_dispatch=16,
+            return_dlogp=True, divergence=args.divergence,
+            num_probes=args.num_probes, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss",
         )
@@ -239,6 +246,7 @@ def main(argv):
         "ess": ess, "ess_frac": ess / len(x1),
         "eval_steps": args.eval_steps[0],
         "quad_dlogp": bool(args.quad_dlogp),
+        "divergence": args.divergence,
         "compute_dtype": headline_dtype,
         "train_temps": train_T,
         "extrapolated_T1": T1 not in train_T,

@@ -58,6 +58,7 @@ def make_ode_sampler(
     max_steps: int = 1024,
     dlogp_quad_points: Optional[int] = None,
     dlogp_quad: str = "simpson",
+    num_probes: int = 8,
 ):
     """Build a batched transport sampler.
 
@@ -119,13 +120,13 @@ def make_ode_sampler(
                 v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
                 n_save=n_save, gl_points=dlogp_quad_points,
                 divergence=divergence, div_chunk=div_chunk,
-                steps_per_dispatch=steps_per_dispatch,
+                steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
             divergence=divergence, div_chunk=div_chunk,
-            steps_per_dispatch=steps_per_dispatch,
+            steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
         )
 
     if steps_per_dispatch is None:
@@ -137,11 +138,12 @@ def make_ode_sampler(
                     v, x0, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
                     max_steps=max_steps, return_dlogp=return_dlogp,
                     divergence=divergence, key=key, div_chunk=div_chunk,
+                    num_probes=num_probes,
                 )
             return sample_ode(
                 v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
-                div_chunk=div_chunk,
+                div_chunk=div_chunk, num_probes=num_probes,
             )
 
         @jax.jit
@@ -160,7 +162,7 @@ def make_ode_sampler(
     return _segmented_fixed_sampler(
         v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save,
         return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
-        steps_per_dispatch=steps_per_dispatch,
+        steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
     )
 
 
@@ -174,7 +176,7 @@ def _segments_per_interval(per_save: int, steps_per_dispatch: int) -> int:
 
 def _segmented_fixed_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, return_dlogp, divergence,
-    div_chunk, steps_per_dispatch,
+    div_chunk, steps_per_dispatch, num_probes=8,
 ):
     per_save = n_steps // (n_save - 1)
     q = _segments_per_interval(per_save, steps_per_dispatch)
@@ -189,7 +191,7 @@ def _segmented_fixed_sampler(
                 v_fn_of(cond), x0, t0=t_start, t1=t_start + seg_span,
                 n_steps=sub_steps, n_save=2, method=solver, dlogp0=lp0,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
-                div_chunk=div_chunk,
+                div_chunk=div_chunk, num_probes=num_probes,
             )
             return sol.xs[-1], sol.dlogp[-1]
 
@@ -218,7 +220,7 @@ def _segmented_fixed_sampler(
 
 def _quad_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
-    div_chunk, steps_per_dispatch,
+    div_chunk, steps_per_dispatch, num_probes=8,
 ):
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
@@ -242,6 +244,7 @@ def _quad_dlogp_sampler(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
                     div_points=div_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
+                    num_probes=num_probes,
                 )
             )(x0s, conds, keys)
 
@@ -267,7 +270,7 @@ def _quad_dlogp_sampler(
                 if divergence == "exact":
                     return divergence_exact(f, x, chunk=div_chunk)[1]
                 return divergence_hutchinson(
-                    f, x, jax.random.fold_in(k, i), num_probes=8
+                    f, x, jax.random.fold_in(k, i), num_probes=num_probes
                 )[1]
 
             return jax.lax.map(node, (xs_p, ts, jnp.arange(xs_p.shape[0])))
@@ -303,7 +306,7 @@ def _quad_dlogp_sampler(
 
 def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
-    div_chunk, steps_per_dispatch,
+    div_chunk, steps_per_dispatch, num_probes=8,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -329,6 +332,7 @@ def _gauss_dlogp_sampler(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
                     gl_points=gl_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
+                    num_probes=num_probes,
                 )
             )(x0s, conds, keys)
 
@@ -373,7 +377,7 @@ def _gauss_dlogp_sampler(
                 if divergence == "exact":
                     return divergence_exact(f, x, chunk=div_chunk)[1]
                 return divergence_hutchinson(
-                    f, x, jax.random.fold_in(k, i), num_probes=8
+                    f, x, jax.random.fold_in(k, i), num_probes=num_probes
                 )[1]
 
             return jax.lax.map(node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])))
@@ -512,6 +516,7 @@ def sample_adw(
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
+        num_probes=getattr(cfg, "num_probes", 8),
     )
 
     x0j = jnp.asarray(x0, jnp.float32)
@@ -622,6 +627,7 @@ def sample_ambient(
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
+        num_probes=getattr(cfg, "num_probes", 8),
     )
 
     if latent_z is None:
@@ -706,6 +712,7 @@ def sample_latent(
         steps_per_dispatch=cfg.steps_per_dispatch or None,
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
+        num_probes=getattr(cfg, "num_probes", 8),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
