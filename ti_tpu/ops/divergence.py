@@ -16,7 +16,18 @@ TPU-native replacements:
   for larger systems.
 
 Both return the primal velocity too, so the ODE step costs a single fused
-evaluation. The reference's 1e-2/1e2 divergence scaling hack
+evaluation.
+
+LANE SHARDING (``axis_name=``): the tangent lanes (identity basis columns
+for exact, probes for Hutchinson) are mutually independent, so they shard
+perfectly over a device-mesh axis — each device runs its slice of the
+lanes through the shared linearization and the partial traces meet in ONE
+scalar ``psum`` per evaluation (pure ICI latency, no bandwidth). Pass
+``axis_name`` when calling from inside ``jax.shard_map`` over that mesh
+axis; see ``ti_tpu.parallel.mesh.lane_parallel_sampler`` for the wrapper.
+This is the intra-molecule (tensor-parallel-like) scaling axis: it cuts
+the LATENCY of a single chain's dlogp, complementary to chain sharding's
+throughput axis. The reference's 1e-2/1e2 divergence scaling hack
 (adw/thermo/models/ode_wrapper.py:67, adw/thermo/integrators.py:68) — a
 conditioning trick for torchdiffeq's per-state adaptive tolerances — is
 dropped: it cancels exactly (div·1e-2 integrated, then dlogp·1e2) and our
@@ -42,22 +53,31 @@ def value_and_divergence(
     key: Array | None = None,
     num_probes: int = 8,
     chunk: int | None = None,
+    axis_name: str | None = None,
 ) -> Tuple[Array, Array]:
     """Return (f(x), div f(x)) with the chosen estimator.
 
     ``x`` may have any shape; the divergence is over all of its elements
-    (flattened). ``mode`` in {"exact", "hutchinson"}.
+    (flattened). ``mode`` in {"exact", "hutchinson"}. ``axis_name`` shards
+    the tangent lanes over that mesh axis (inside shard_map only).
     """
     if mode == "exact":
-        return divergence_exact(f, x, chunk=chunk)
+        return divergence_exact(f, x, chunk=chunk, axis_name=axis_name)
     if mode == "hutchinson":
         if key is None:
             raise ValueError("hutchinson mode requires a PRNG key")
-        return divergence_hutchinson(f, x, key, num_probes=num_probes)
+        return divergence_hutchinson(
+            f, x, key, num_probes=num_probes, axis_name=axis_name
+        )
     raise ValueError(f"unknown divergence mode {mode!r}")
 
 
-def divergence_exact(f: VelocityFn, x: Array, chunk: int | None = None) -> Tuple[Array, Array]:
+def divergence_exact(
+    f: VelocityFn,
+    x: Array,
+    chunk: int | None = None,
+    axis_name: str | None = None,
+) -> Tuple[Array, Array]:
     """Exact trace of the Jacobian of f at x.
 
     Matches the reference's exact autograd-loop divergence
@@ -70,6 +90,13 @@ def divergence_exact(f: VelocityFn, x: Array, chunk: int | None = None) -> Tuple
     ``lax.map`` over ceil(D/chunk) vmapped blocks): per-lane activations for
     a GNN are O(E·F), so on-HBM memory scales with chains × lanes — chunking
     trades a little latency for a hard memory bound. None = all D at once.
+
+    ``axis_name`` (inside ``jax.shard_map`` only) shards the lanes over
+    that mesh axis: each device evaluates its ceil(D/n)-lane slice of the
+    identity basis (zero-padded rows beyond D contribute exactly 0) and the
+    trace is completed with one scalar ``lax.psum``. The primal is
+    replicated compute (1 forward vs D/n tangents — negligible). ``chunk``
+    then bounds the PER-DEVICE lanes.
     """
     shape = jnp.shape(x)
     d = int(jnp.size(x))
@@ -80,26 +107,54 @@ def divergence_exact(f: VelocityFn, x: Array, chunk: int | None = None) -> Tuple
 
     y, f_lin = jax.linearize(f_flat, flat)
 
+    if axis_name is not None:
+        n = jax.lax.axis_size(axis_name)
+        per = -(-d // n)
+        rows = jax.lax.axis_index(axis_name) * per + jnp.arange(per)
+        basis = (rows[:, None] == jnp.arange(d)[None, :]).astype(flat.dtype)
+        part = _lane_trace(f_lin, basis, chunk)
+        return jnp.reshape(y, shape), jax.lax.psum(part, axis_name)
+
     if chunk is None or chunk >= d:
         basis = jnp.eye(d, dtype=flat.dtype)
         diag = jax.vmap(lambda e: jnp.vdot(e, f_lin(e)))(basis)
         return jnp.reshape(y, shape), jnp.sum(diag)
 
-    n_chunks = -(-d // chunk)
+    return jnp.reshape(y, shape), _lane_trace(f_lin, jnp.eye(d, dtype=flat.dtype), chunk)
+
+
+def _lane_trace(f_lin, basis: Array, chunk: int | None) -> Array:
+    """sum_e e·f_lin(e) over basis rows, optionally in chunk-lane blocks."""
+    m = basis.shape[0]
+    if chunk is None or chunk >= m:
+        return jnp.sum(jax.vmap(lambda e: jnp.vdot(e, f_lin(e)))(basis))
+    n_chunks = -(-m // chunk)
     pad = n_chunks * chunk
-    basis = jnp.eye(d, pad, dtype=flat.dtype).T.reshape(n_chunks, chunk, d)
+    blocks = jnp.pad(basis, ((0, pad - m), (0, 0))).reshape(n_chunks, chunk, -1)
 
     def block(es):
         return jnp.sum(jax.vmap(lambda e: jnp.vdot(e, f_lin(e)))(es))
 
-    partial = jax.lax.map(block, basis)
-    return jnp.reshape(y, shape), jnp.sum(partial)
+    return jnp.sum(jax.lax.map(block, blocks))
 
 
 def divergence_hutchinson(
-    f: VelocityFn, x: Array, key: Array, *, num_probes: int = 8
+    f: VelocityFn,
+    x: Array,
+    key: Array,
+    *,
+    num_probes: int = 8,
+    axis_name: str | None = None,
 ) -> Tuple[Array, Array]:
-    """Hutchinson estimator: div f ≈ mean_k z_kᵀ J z_k, z Rademacher."""
+    """Hutchinson estimator: div f ≈ mean_k z_kᵀ J z_k, z Rademacher.
+
+    ``axis_name`` (inside ``jax.shard_map`` only) shards the probes over
+    that mesh axis: each device draws ceil(K/n) probes from
+    ``fold_in(key, axis_index)`` and the mean is completed with one scalar
+    ``psum`` over n·ceil(K/n) total probes. Still unbiased (probes are iid
+    across devices), but the draws differ from the unsharded estimator —
+    no bitwise parity across lane-mesh shapes.
+    """
     shape = jnp.shape(x)
     d = int(jnp.size(x))
     flat = jnp.reshape(x, (d,))
@@ -107,7 +162,16 @@ def divergence_hutchinson(
     def f_flat(xf):
         return jnp.reshape(f(jnp.reshape(xf, shape)), (d,))
 
-    z = jax.random.rademacher(key, (num_probes, d), dtype=flat.dtype)
     y, f_lin = jax.linearize(f_flat, flat)
+
+    if axis_name is not None:
+        n = jax.lax.axis_size(axis_name)
+        per = -(-num_probes // n)
+        k_local = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        z = jax.random.rademacher(k_local, (per, d), dtype=flat.dtype)
+        part = jnp.sum(jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z))
+        return jnp.reshape(y, shape), jax.lax.psum(part, axis_name) / (per * n)
+
+    z = jax.random.rademacher(key, (num_probes, d), dtype=flat.dtype)
     est = jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z)
     return jnp.reshape(y, shape), jnp.mean(est)

@@ -5,6 +5,7 @@ from ti_tpu.parallel.mesh import (
     shard_batch,
     parallel_sampler,
     parallel_update,
+    lane_parallel_sampler,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "shard_batch",
     "parallel_sampler",
     "parallel_update",
+    "lane_parallel_sampler",
 ]

@@ -11,10 +11,17 @@ component, not a port. Design (per SURVEY.md §2.3/§5.8):
 - sampling: chains sharded on "data", zero communication until the host
   gathers statistics — embarrassingly parallel over chips, with
   per-chain RNG from fold_in so resharding never changes the draws;
-- TP/PP/SP/EP are deliberately absent: the models are ≤ ~2M parameters on
-  ≤ ~30-atom molecules (SURVEY.md §2.3) — sharding them would add ICI
-  latency per layer for zero memory benefit. The scaling axis that matters
-  is chains/batch.
+- lane parallelism ("lanes" axis, ``lane_parallel_sampler``): the exact
+  divergence's 3N tangent lanes — the dominant cost of a dlogp chain —
+  shard over a second mesh axis with ONE scalar psum per divergence node
+  (ops/divergence.py). This is the intra-molecule, tensor-parallel-like
+  axis: it cuts single-chain LATENCY when chains-per-chip is small
+  (serving / few-chain regimes), and composes with chain sharding as a
+  2-D (data × lanes) mesh;
+- weight-matrix TP and PP remain deliberately absent: the models are
+  ≤ ~2M parameters (SURVEY.md §2.3) — sharding parameters would add ICI
+  latency per layer for zero memory benefit. The axes that matter are
+  chains/batch and tangent lanes.
 """
 
 from __future__ import annotations
@@ -87,3 +94,47 @@ def parallel_sampler(sampler_fn: Callable, mesh: Mesh, axis_name: str = "data") 
     shard = batch_sharded(mesh, axis_name)
 
     return jax.jit(sampler_fn, in_shardings=(shard, shard, repl), out_shardings=shard)
+
+
+def lane_parallel_sampler(
+    sampler_fn: Callable,
+    mesh: Mesh,
+    *,
+    chain_axis: Optional[str] = None,
+    lane_axis: str = "lanes",
+) -> Callable:
+    """Lane-(and optionally chain-)sharded sampling via ``jax.shard_map``.
+
+    ``sampler_fn(x0s, conds, key) -> ODESolution`` must be built with
+    ``div_axis=lane_axis`` (``sampling.drivers.make_ode_sampler``) so each
+    divergence node evaluates only this device's slice of the tangent
+    lanes and completes the trace with one scalar psum over ``lane_axis``
+    (ops/divergence.py). With ``chain_axis`` set, chains are additionally
+    split over that mesh axis — a 2-D (chains × lanes) layout where the
+    lane psum rides the fast inner mesh dimension.
+
+    Everything except the chain batch is replicated compute (the primal
+    forward runs on every lane shard; it is 1 evaluation against D/n
+    tangent lanes). ``check_vma=False`` because the lane slices are
+    *deliberately* device-varying against the replicated primal, which
+    the varying-manifest-axes checker cannot express; correctness is
+    covered by the parity tests (tests/test_parallel.py).
+
+    Note: with ``chain_axis``, per-chain PRNG keys are split per shard, so
+    hutchinson draws differ from the unsharded run — exact divergence
+    (the production dlogp path) is bit-identical in structure and matches
+    to summation-order tolerance.
+    """
+    cspec = P(chain_axis) if chain_axis is not None else P()
+    from ti_tpu.sampling.integrators import ODESolution
+
+    out_specs = ODESolution(xs=cspec, dlogp=cspec, nfe=P())
+    return jax.jit(
+        jax.shard_map(
+            sampler_fn,
+            mesh=mesh,
+            in_specs=(cspec, cspec, P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )

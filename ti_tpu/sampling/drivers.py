@@ -59,6 +59,7 @@ def make_ode_sampler(
     dlogp_quad_points: Optional[int] = None,
     dlogp_quad: str = "simpson",
     num_probes: int = 8,
+    div_axis: Optional[str] = None,
 ):
     """Build a batched transport sampler.
 
@@ -121,12 +122,14 @@ def make_ode_sampler(
                 n_save=n_save, gl_points=dlogp_quad_points,
                 divergence=divergence, div_chunk=div_chunk,
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
+                div_axis=div_axis,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
             divergence=divergence, div_chunk=div_chunk,
             steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
+            div_axis=div_axis,
         )
 
     if steps_per_dispatch is None:
@@ -138,12 +141,12 @@ def make_ode_sampler(
                     v, x0, t0=t0, t1=t1, n_save=n_save, atol=atol, rtol=rtol,
                     max_steps=max_steps, return_dlogp=return_dlogp,
                     divergence=divergence, key=key, div_chunk=div_chunk,
-                    num_probes=num_probes,
+                    num_probes=num_probes, div_axis=div_axis,
                 )
             return sample_ode(
                 v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
-                div_chunk=div_chunk, num_probes=num_probes,
+                div_chunk=div_chunk, num_probes=num_probes, div_axis=div_axis,
             )
 
         @jax.jit
@@ -163,6 +166,7 @@ def make_ode_sampler(
         v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save,
         return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
         steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
+        div_axis=div_axis,
     )
 
 
@@ -176,7 +180,7 @@ def _segments_per_interval(per_save: int, steps_per_dispatch: int) -> int:
 
 def _segmented_fixed_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, return_dlogp, divergence,
-    div_chunk, steps_per_dispatch, num_probes=8,
+    div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
 ):
     per_save = n_steps // (n_save - 1)
     q = _segments_per_interval(per_save, steps_per_dispatch)
@@ -191,7 +195,7 @@ def _segmented_fixed_sampler(
                 v_fn_of(cond), x0, t0=t_start, t1=t_start + seg_span,
                 n_steps=sub_steps, n_save=2, method=solver, dlogp0=lp0,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
-                div_chunk=div_chunk, num_probes=num_probes,
+                div_chunk=div_chunk, num_probes=num_probes, div_axis=div_axis,
             )
             return sol.xs[-1], sol.dlogp[-1]
 
@@ -220,7 +224,7 @@ def _segmented_fixed_sampler(
 
 def _quad_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
-    div_chunk, steps_per_dispatch, num_probes=8,
+    div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
 ):
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
@@ -244,7 +248,7 @@ def _quad_dlogp_sampler(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
                     div_points=div_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
-                    num_probes=num_probes,
+                    num_probes=num_probes, div_axis=div_axis,
                 )
             )(x0s, conds, keys)
 
@@ -268,9 +272,12 @@ def _quad_dlogp_sampler(
                 x, t, i = args
                 f = lambda y: v_fn_of(cond)(y, t)
                 if divergence == "exact":
-                    return divergence_exact(f, x, chunk=div_chunk)[1]
+                    return divergence_exact(
+                        f, x, chunk=div_chunk, axis_name=div_axis
+                    )[1]
                 return divergence_hutchinson(
-                    f, x, jax.random.fold_in(k, i), num_probes=num_probes
+                    f, x, jax.random.fold_in(k, i), num_probes=num_probes,
+                    axis_name=div_axis,
                 )[1]
 
             return jax.lax.map(node, (xs_p, ts, jnp.arange(xs_p.shape[0])))
@@ -306,7 +313,7 @@ def _quad_dlogp_sampler(
 
 def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
-    div_chunk, steps_per_dispatch, num_probes=8,
+    div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -332,7 +339,7 @@ def _gauss_dlogp_sampler(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
                     gl_points=gl_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
-                    num_probes=num_probes,
+                    num_probes=num_probes, div_axis=div_axis,
                 )
             )(x0s, conds, keys)
 
@@ -375,9 +382,12 @@ def _gauss_dlogp_sampler(
                 x, t, i = args
                 f = lambda y: v_fn_of(cond)(y, t)
                 if divergence == "exact":
-                    return divergence_exact(f, x, chunk=div_chunk)[1]
+                    return divergence_exact(
+                        f, x, chunk=div_chunk, axis_name=div_axis
+                    )[1]
                 return divergence_hutchinson(
-                    f, x, jax.random.fold_in(k, i), num_probes=num_probes
+                    f, x, jax.random.fold_in(k, i), num_probes=num_probes,
+                    axis_name=div_axis,
                 )[1]
 
             return jax.lax.map(node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])))

@@ -65,8 +65,12 @@ def _make_rhs_joint(
     key: Optional[Array],
     num_probes: int,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
 ):
-    """RHS on the flattened joint state y = [x.ravel(), dlogp]."""
+    """RHS on the flattened joint state y = [x.ravel(), dlogp].
+
+    ``div_axis`` shards the divergence's tangent lanes over that mesh axis
+    (valid inside shard_map only; see ops/divergence.py)."""
     d = int(np.prod(shape)) if shape else 1
 
     def rhs(y, t, eval_idx):
@@ -76,10 +80,12 @@ def _make_rhs_joint(
             return jnp.concatenate([jnp.reshape(dx, (d,)), jnp.zeros((1,), y.dtype)])
         f = lambda xx: v_fn(xx, t)
         if divergence == "exact":
-            vel, div = divergence_exact(f, x, chunk=div_chunk)
+            vel, div = divergence_exact(f, x, chunk=div_chunk, axis_name=div_axis)
         else:
             k = jax.random.fold_in(key, eval_idx)
-            vel, div = divergence_hutchinson(f, x, k, num_probes=num_probes)
+            vel, div = divergence_hutchinson(
+                f, x, k, num_probes=num_probes, axis_name=div_axis
+            )
         return jnp.concatenate([jnp.reshape(vel, (d,)), -div[None]])
 
     return rhs
@@ -131,6 +137,7 @@ def sample_ode(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
     dlogp0: Optional[Array] = None,
 ) -> ODESolution:
     """Fixed-step probability-flow ODE with fused dlogp carry.
@@ -150,7 +157,9 @@ def sample_ode(
 
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
-    rhs = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
+    rhs = _make_rhs_joint(
+        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk, div_axis
+    )
     cc, aa, bb = _tableau(method)
     c = jnp.asarray(cc, x0.dtype)
     a = jnp.asarray(aa, x0.dtype)
@@ -214,6 +223,7 @@ def dopri5_stepper(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
     first_dt: float = 0.01,
 ):
     """Resumable adaptive RK45: returns (init, advance).
@@ -227,7 +237,9 @@ def dopri5_stepper(
     carry = (tau, y, dt, nfe) with y the flattened joint (x, dlogp) state.
     """
     d = int(np.prod(shape)) if shape else 1
-    rhs0 = _make_rhs_joint(v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk)
+    rhs0 = _make_rhs_joint(
+        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk, div_axis
+    )
     direction = 1.0 if t1 >= t0 else -1.0  # internal time tau = dir*(t - t0)
 
     def rhs(y, tau, idx):
@@ -324,6 +336,7 @@ def sample_ode_dopri5(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
     first_dt: float = 0.01,
 ) -> ODESolution:
     """Adaptive RK45 with PI step control, bounded by ``max_steps`` steps per
@@ -343,7 +356,8 @@ def sample_ode_dopri5(
     init, advance = dopri5_stepper(
         v_fn, shape, dtype, t0=t0, t1=t1, atol=atol, rtol=rtol,
         max_steps=max_steps, return_dlogp=return_dlogp, divergence=divergence,
-        key=key, num_probes=num_probes, div_chunk=div_chunk, first_dt=first_dt,
+        key=key, num_probes=num_probes, div_chunk=div_chunk, div_axis=div_axis,
+        first_dt=first_dt,
     )
     save_ts = jnp.linspace(0.0, abs(t1 - t0), n_save)
     carry = init(x0)
@@ -444,6 +458,7 @@ def sample_ode_gauss_dlogp(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
 ) -> ODESolution:
     """Transport with GAUSS-LEGENDRE-decoupled dlogp.
 
@@ -462,7 +477,7 @@ def sample_ode_gauss_dlogp(
     xs_all = sample_ode_times(v_fn, x0, ts, method=method)
 
     rhs = _make_rhs_joint(
-        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk, div_axis
     )
     d = int(jnp.size(x0))
     flat_idx = node_idx.reshape(-1)
@@ -541,6 +556,7 @@ def sample_ode_quad_dlogp(
     key: Optional[Array] = None,
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
+    div_axis: Optional[str] = None,
 ) -> ODESolution:
     """Transport with QUADRATURE-DECOUPLED dlogp — the fast product path.
 
@@ -584,7 +600,7 @@ def sample_ode_quad_dlogp(
 
     # phase 2: batched divergence at the grid nodes
     rhs = _make_rhs_joint(
-        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk, div_axis
     )
     d = int(jnp.size(x0))
 
