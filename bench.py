@@ -5,18 +5,27 @@ reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
 dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 (19 atoms, cPaiNN F=128 x 5 layers).
 
-value        = TPU-first path: fixed-step RK4(~32) trajectory + the
-               quadrature-decoupled exact dlogp (Gauss-Legendre over 8
-               divergence nodes), bf16 mixed-precision compute (params
-               f32, f32 dot accumulation — physics-qualified, see
-               BASELINE.md), vmapped over a chain batch. Accuracy
-               evidence: GL-10 sits at the same trajectory-limited error
-               floor as Simpson-21/33 on the trained ADW field
-               (tests/test_adw_physics.py), and the molecular TFEP oracle
-               error is flat (2.05-2.09e-2, its statistical floor) from
-               100 down to 16 RK4 steps with dlogp mean shifts ~1e-4
-               (scripts/validate_mdqm9_physics.py --eval_steps); dopri5
-               @1e-5 itself needs ~1022 NFE for the same global accuracy
+value        = TPU-first path: fixed-step RK4-16 trajectory + the
+               quadrature-decoupled dlogp (Gauss-Legendre over 8
+               divergence nodes, Hutchinson trace with 16 Rademacher
+               probes), bf16 mixed-precision compute (params f32, f32 MXU
+               accumulation — physics-qualified, see BASELINE.md),
+               vmapped over a chain batch. Accuracy evidence, all on the
+               TRAINED production-capacity 19-atom oracle field: GL-10
+               sits at the same trajectory-limited error floor as
+               Simpson-21/33 (tests/test_adw_physics.py); the TFEP oracle
+               error is flat from 100 down to 16 RK4 steps
+               (scripts/validate_mdqm9_physics.py --eval_steps); and the
+               EXACT bench combo (hutchinson-16 + RK4-16 + bf16_agg)
+               reproduces the exact-divergence physics at its statistical
+               floor — dF err 0.066 / ESS 17.1% vs exact 0.093 / 15.6%
+               on dF=32.5 (round-2 probe study, BASELINE.md: probes
+               16/24/32 all at the floor at this scale; at 10506-scale
+               29 atoms the ESS penalty appears and probes=32 is the
+               documented profile). The exact-divergence path (the
+               reference's estimator, 57 tangent lanes) is measured each
+               run as a stderr context line; dopri5@1e-5 itself needs
+               ~1022 NFE for the same global accuracy
                (scripts/step_count_study.py).
 vs_baseline  = value / (reference-algorithm shape on the SAME chip):
                adaptive dopri5 at atol=rtol=1e-5 (the reference's solver
@@ -109,13 +118,29 @@ def main(quick: bool = False):
     # dlogp mean shifts <2e-4; validate_mdqm9_physics --reuse
     # --eval_steps 64,32,16,8), matching the round-1 ADW result that
     # RK4-16 equals dopri5@1e-5 global accuracy — 32 was 2x conservative.
+    # Hutchinson-16 divergence (round 2): at 19 atoms the probe study on
+    # the trained production oracle shows NO physics penalty vs the exact
+    # 57-lane trace (dF err 0.066 / ESS 17.1% vs 0.093 / 15.6%, probes
+    # 16/24/32 all at the floor) for 2.4x throughput; the exact path is
+    # measured below as context.
     opt_sampler = make_ode_sampler(
+        v_fn_of, solver="rk4", n_steps=10 if quick else 16, n_save=2,
+        return_dlogp=True, divergence="hutchinson", num_probes=16,
+        steps_per_dispatch=25,
+        dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
+    )
+    opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
+    print(f"[bench] optimized rk4+quad-dlogp (hutchinson-16): {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
+
+    # exact-divergence context line (the reference's estimator — all 3N
+    # tangent lanes; the round-1/2a headline path)
+    exact_sampler = make_ode_sampler(
         v_fn_of, solver="rk4", n_steps=10 if quick else 16, n_save=2,
         return_dlogp=True, divergence="exact", steps_per_dispatch=25,
         dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
     )
-    opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
-    print(f"[bench] optimized rk4+quad-dlogp: {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
+    exact_rate, _ = timed(exact_sampler, chains, reps)
+    print(f"[bench] exact-divergence context: {exact_rate:.3f} samples/s", file=sys.stderr)
 
     # --- multi-chip context: chain-shard the same sampler over all chips ---
     # (jit partitions the embarrassingly parallel chain axis; correctness of
