@@ -5,7 +5,7 @@ reference (mdqm9/sample_ambient.py — probability-flow transport WITH the
 dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 (19 atoms, cPaiNN F=128 x 5 layers).
 
-value        = TPU-first path: fixed-step RK4-16 trajectory + the
+value        = TPU-first path: fixed-step RK4-8 trajectory + the
                quadrature-decoupled dlogp (Gauss-Legendre over 8
                divergence nodes, Hutchinson trace with 16 Rademacher
                probes), bf16 mixed-precision compute (params f32, f32 MXU
@@ -14,12 +14,13 @@ value        = TPU-first path: fixed-step RK4-16 trajectory + the
                TRAINED production-capacity 19-atom oracle field: GL-10
                sits at the same trajectory-limited error floor as
                Simpson-21/33 (tests/test_adw_physics.py); the TFEP oracle
-               error is flat from 100 down to 16 RK4 steps
+               error is flat from 100 down to 8 RK4 steps
                (scripts/validate_mdqm9_physics.py --eval_steps); and the
                EXACT bench combo (hutchinson-16 + RK4-16 + bf16_agg)
                reproduces the exact-divergence physics at its statistical
-               floor — dF err 0.066 / ESS 17.1% vs exact 0.093 / 15.6%
-               on dF=32.5 (round-2 probe study, BASELINE.md: probes
+               floor — dF err 0.066/0.070 / ESS 17.1/17.2% at RK4-16/8
+               vs exact 0.093 / 15.6% on dF=32.5 (round-2 probe study,
+               BASELINE.md: probes
                16/24/32 all at the floor at this scale; at 10506-scale
                29 atoms the ESS penalty appears and probes=32 is the
                documented profile). The exact-divergence path (the
@@ -113,18 +114,21 @@ def main(quick: bool = False):
     # compile (helper OOM) — 128 is the sweet spot.
     chains = 32 if quick else 128
     reps = 1
-    # RK4-16 trajectory (round 2): the trained-field step study shows
+    # RK4-8 trajectory (round 2): the trained-field step study shows
     # 8/16/32/64 steps all sit at the same dF error floor (0.017-0.018,
     # dlogp mean shifts <2e-4; validate_mdqm9_physics --reuse
-    # --eval_steps 64,32,16,8), matching the round-1 ADW result that
-    # RK4-16 equals dopri5@1e-5 global accuracy — 32 was 2x conservative.
+    # --eval_steps 64,32,16,8), and the full bench combo holds it at 8
+    # steps (dF err 0.070 / ESS 17.2% vs 0.066 / 17.1% at 16). RK4-8
+    # was rejected while the exact dlogp dominated (it bought ~5%);
+    # with hutchinson-16 the trajectory is >half the cost and 8 steps
+    # buy 14% (110 -> 125 samples/s idle-chip).
     # Hutchinson-16 divergence (round 2): at 19 atoms the probe study on
     # the trained production oracle shows NO physics penalty vs the exact
     # 57-lane trace (dF err 0.066 / ESS 17.1% vs 0.093 / 15.6%, probes
     # 16/24/32 all at the floor) for 2.4x throughput; the exact path is
     # measured below as context.
     opt_sampler = make_ode_sampler(
-        v_fn_of, solver="rk4", n_steps=10 if quick else 16, n_save=2,
+        v_fn_of, solver="rk4", n_steps=10 if quick else 8, n_save=2,
         return_dlogp=True, divergence="hutchinson", num_probes=16,
         steps_per_dispatch=25,
         dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
