@@ -62,7 +62,7 @@ def main(argv):
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
-    ap.add_argument("--divergence", choices=["exact", "hutchinson"], default="exact",
+    ap.add_argument("--divergence", choices=["exact", "hutchinson", "hutchpp"], default="exact",
                     help="divergence estimator for the dlogp integrand "
                          "(hutchinson: num_probes Rademacher JVP lanes "
                          "instead of the 3N exact tangent basis)")

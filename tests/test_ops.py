@@ -52,6 +52,45 @@ def test_hutchinson_unbiased_linear():
     assert abs(float(div) - float(jnp.trace(a))) < 0.35
 
 
+def test_hutchpp_low_rank_exact_and_unbiased():
+    from ti_tpu.ops.divergence import divergence_hutchpp
+
+    # rank-2 Jacobian + sketch 2 -> the residual projector annihilates J
+    # and the trace is exact (up to f32 QR roundoff)
+    w = np.zeros((6, 6), np.float32)
+    w[:2, :] = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, 6)))
+    f = lambda x: jnp.asarray(w) @ x
+    x = jnp.ones(6)
+    _, d = divergence_hutchpp(f, x, jax.random.PRNGKey(1), num_queries=5, sketch=2)
+    np.testing.assert_allclose(float(d), float(np.trace(w)), rtol=5e-3)
+
+    # full-rank linear field: unbiased, converges with the query budget
+    a = jax.random.normal(jax.random.PRNGKey(5), (6, 6))
+    f = lambda x: a @ x
+    ests = [
+        float(divergence_hutchpp(f, jnp.zeros(6), jax.random.PRNGKey(i), num_queries=12)[1])
+        for i in range(64)
+    ]
+    assert abs(float(np.mean(ests)) - float(jnp.trace(a))) < 0.5
+
+    with pytest.raises(ValueError):
+        divergence_hutchpp(f, jnp.zeros(6), jax.random.PRNGKey(0), num_queries=4, sketch=2)
+
+
+def test_hutchpp_sampler_mode_runs():
+    from ti_tpu.sampling.integrators import sample_ode
+
+    # rank-1 diagonal field: the 1-column sketch captures range(J) exactly,
+    # the projected residual vanishes, and dlogp = -∫div dt = 0.5 exactly
+    mask = jnp.array([1.0, 0.0, 0.0, 0.0])
+    f = lambda x, t: -0.5 * x * mask
+    sol = sample_ode(
+        f, jnp.ones(4), n_steps=4, return_dlogp=True,
+        divergence="hutchpp", key=jax.random.PRNGKey(0), num_probes=4,
+    )
+    np.testing.assert_allclose(float(sol.dlogp[-1]), 0.5, rtol=1e-4)
+
+
 def test_value_and_divergence_dispatch():
     f = lambda x: 2.0 * x
     x = jnp.ones(3)
@@ -61,6 +100,12 @@ def test_value_and_divergence_dispatch():
     assert float(d2) == pytest.approx(6.0, rel=1e-4)  # exact for Rademacher + diagonal J
     with pytest.raises(ValueError):
         value_and_divergence(f, x, mode="hutchinson")
+    # hutchpp: exact on a rank-1 diagonal J (sketch spans range(J))
+    f1 = lambda x: x * jnp.array([2.0, 0.0, 0.0])
+    _, d3 = value_and_divergence(
+        f1, x, mode="hutchpp", key=jax.random.PRNGKey(0), num_probes=4
+    )
+    assert float(d3) == pytest.approx(2.0, rel=1e-4)
     with pytest.raises(ValueError):
         value_and_divergence(f, x, mode="nope")
 

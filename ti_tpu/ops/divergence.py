@@ -69,6 +69,10 @@ def value_and_divergence(
         return divergence_hutchinson(
             f, x, key, num_probes=num_probes, axis_name=axis_name
         )
+    if mode == "hutchpp":
+        if key is None:
+            raise ValueError("hutchpp mode requires a PRNG key")
+        return divergence_hutchpp(f, x, key, num_queries=num_probes)
     raise ValueError(f"unknown divergence mode {mode!r}")
 
 
@@ -175,3 +179,62 @@ def divergence_hutchinson(
     z = jax.random.rademacher(key, (num_probes, d), dtype=flat.dtype)
     est = jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z)
     return jnp.reshape(y, shape), jnp.mean(est)
+
+
+def divergence_hutchpp(
+    f: VelocityFn,
+    x: Array,
+    key: Array,
+    *,
+    num_queries: int = 12,
+    sketch: int | None = None,
+) -> Tuple[Array, Array]:
+    """Hutch++ trace estimator (Meyer et al. 2021) on the velocity Jacobian.
+
+    Splits the ``num_queries`` JVP lanes into a low-rank SKETCH whose trace
+    contribution is computed EXACTLY, plus Hutchinson probes on the
+    projected residual:
+
+        tr(J) = tr(Qᵀ J Q) + E_g[ gᵀ(I-QQᵀ) J (I-QQᵀ)g ],   Q = qr(J S)
+
+    with S an (s, D) Rademacher sketch. Unbiased for ANY square J (the
+    projector is idempotent, so tr((I-P)J(I-P)) = tr((I-P)J) by
+    cyclicity), and EXACT when rank(J) <= s. For Jacobians of smooth
+    trained fields the spectrum decays, so the sketch captures most of the
+    trace-mass and the residual variance drops ~quadratically in the query
+    budget vs plain Hutchinson's O(1/K) variance — equal ESS at fewer
+    tangent lanes (the cost driver; BASELINE.md probe-study rows).
+
+    Lane budget: s sketch JVPs + s exact-term JVPs + (num_queries - 2s)
+    residual probes = ``num_queries`` total linearized passes plus one
+    (D, s) QR (trivial at D = 3N). Default split s = num_queries // 3 per
+    the paper. No reference counterpart (the reference only has the exact
+    autograd loop, adw/thermo/models/ode_wrapper.py:54-67).
+    """
+    shape = jnp.shape(x)
+    d = int(jnp.size(x))
+    flat = jnp.reshape(x, (d,))
+    s = sketch if sketch is not None else max(1, num_queries // 3)
+    m = num_queries - 2 * s
+    if m < 1:
+        raise ValueError(
+            f"num_queries={num_queries} too small for sketch s={s} "
+            "(need num_queries >= 2*s + 1)"
+        )
+
+    def f_flat(xf):
+        return jnp.reshape(f(jnp.reshape(xf, shape)), (d,))
+
+    y, f_lin = jax.linearize(f_flat, flat)
+
+    k_s, k_g = jax.random.split(key)
+    S = jax.random.rademacher(k_s, (s, d), dtype=flat.dtype)
+    AS = jax.vmap(f_lin)(S)  # rows J s_i
+    q, _ = jnp.linalg.qr(AS.T)  # (d, s) orthonormal basis of range(J S)
+    AQ = jax.vmap(f_lin)(q.T)  # rows J q_i
+    t_sketch = jnp.sum(q.T * AQ)  # tr(Qᵀ J Q)
+
+    g = jax.random.rademacher(k_g, (m, d), dtype=flat.dtype)
+    g_perp = g - (g @ q) @ q.T  # (I - QQᵀ) g
+    resid = jax.vmap(lambda z: jnp.vdot(z, f_lin(z)))(g_perp)
+    return jnp.reshape(y, shape), t_sketch + jnp.mean(resid)

@@ -229,7 +229,11 @@ def _quad_dlogp_sampler(
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
     then ONE bounded divergence dispatch per grid node."""
-    from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson
+    from ti_tpu.ops.divergence import (
+        divergence_exact,
+        divergence_hutchinson,
+        divergence_hutchpp,
+    )
     from ti_tpu.sampling.integrators import sample_ode_quad_dlogp
 
     m = div_points - 1
@@ -274,6 +278,10 @@ def _quad_dlogp_sampler(
                 if divergence == "exact":
                     return divergence_exact(
                         f, x, chunk=div_chunk, axis_name=div_axis
+                    )[1]
+                if divergence == "hutchpp":
+                    return divergence_hutchpp(
+                        f, x, jax.random.fold_in(k, i), num_queries=num_probes
                     )[1]
                 return divergence_hutchinson(
                     f, x, jax.random.fold_in(k, i), num_probes=num_probes,
@@ -323,7 +331,11 @@ def _gauss_dlogp_sampler(
     dispatch is bounded by the per-gap step count. Phase 2 is one bounded
     divergence dispatch over all nodes, then the weighted sum.
     """
-    from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson
+    from ti_tpu.ops.divergence import (
+        divergence_exact,
+        divergence_hutchinson,
+        divergence_hutchpp,
+    )
     from ti_tpu.sampling.integrators import sample_ode, sample_ode_gauss_dlogp
 
     if gl_points < 1:
@@ -385,6 +397,10 @@ def _gauss_dlogp_sampler(
                     return divergence_exact(
                         f, x, chunk=div_chunk, axis_name=div_axis
                     )[1]
+                if divergence == "hutchpp":
+                    return divergence_hutchpp(
+                        f, x, jax.random.fold_in(k, i), num_queries=num_probes
+                    )[1]
                 return divergence_hutchinson(
                     f, x, jax.random.fold_in(k, i), num_probes=num_probes,
                     axis_name=div_axis,
@@ -433,7 +449,7 @@ def _segmented_dopri5_sampler(
     v_fn_of, *, t0, t1, n_save, atol, rtol, return_dlogp, divergence,
     div_chunk, steps_per_dispatch,
 ):
-    if divergence == "hutchinson":
+    if divergence != "exact":
         raise NotImplementedError(
             "segmented dopri5 supports exact divergence only (parity mode)"
         )

@@ -40,7 +40,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ti_tpu.ops.divergence import divergence_exact, divergence_hutchinson
+from ti_tpu.ops.divergence import (
+    divergence_exact,
+    divergence_hutchinson,
+    divergence_hutchpp,
+)
 
 Array = jax.Array
 VelocityFn = Callable[[Array, Array], Array]  # (x, t) -> dx/dt
@@ -81,6 +85,9 @@ def _make_rhs_joint(
         f = lambda xx: v_fn(xx, t)
         if divergence == "exact":
             vel, div = divergence_exact(f, x, chunk=div_chunk, axis_name=div_axis)
+        elif divergence == "hutchpp":
+            k = jax.random.fold_in(key, eval_idx)
+            vel, div = divergence_hutchpp(f, x, k, num_queries=num_probes)
         else:
             k = jax.random.fold_in(key, eval_idx)
             vel, div = divergence_hutchinson(
@@ -152,8 +159,8 @@ def sample_ode(
     """
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
-    if return_dlogp and divergence == "hutchinson" and key is None:
-        raise ValueError("hutchinson divergence requires key=")
+    if return_dlogp and divergence in ("hutchinson", "hutchpp") and key is None:
+        raise ValueError(f"{divergence} divergence requires key=")
 
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
@@ -347,8 +354,8 @@ def sample_ode_dopri5(
     per-state tolerance lists to torchdiffeq (see module docstring).
     Reverse transport: pass t0=1.0, t1=0.0 (internal forward time).
     """
-    if return_dlogp and divergence == "hutchinson" and key is None:
-        raise ValueError("hutchinson divergence requires key=")
+    if return_dlogp and divergence in ("hutchinson", "hutchpp") and key is None:
+        raise ValueError(f"{divergence} divergence requires key=")
 
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
