@@ -68,6 +68,10 @@ def main(argv):
                          "instead of the 3N exact tangent basis)")
     ap.add_argument("--num_probes", type=int, default=8,
                     help="Hutchinson probe count (with --divergence hutchinson)")
+    ap.add_argument("--probe_crn", action="store_true",
+                    help="share the stochastic-divergence probes across chains "
+                         "(common random numbers: the common component of the "
+                         "dlogp noise cancels in self-normalized weights)")
     ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
                     help="training forward impl (dense = the sampling hot "
                          "path's batched pair formulation)")
@@ -176,7 +180,7 @@ def main(argv):
             return_dlogp=True, divergence=args.divergence,
             num_probes=args.num_probes, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
-            dlogp_quad="gauss",
+            dlogp_quad="gauss", probe_crn=args.probe_crn,
         )
         bs = args.eval_batch or len(x0)
         xs, lps = [], []

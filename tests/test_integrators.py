@@ -309,3 +309,30 @@ def test_num_probes_threads_through_driver_quad_path():
     # 512 probes cut the Rademacher std ~22x vs 1 probe; a generous factor
     # of 4 proves the knob reaches the quadrature nodes without flaking
     assert big < 0.25 * small
+
+
+def test_probe_crn_shares_noise_across_chains():
+    """probe_crn=True gives identical chains identical stochastic-divergence
+    draws (common random numbers), so their dlogps agree exactly; with
+    independent draws they differ. CRN semantics: the common noise
+    component cancels in self-normalized importance weights (ESS) but NOT
+    in absolute dF — see BASELINE.md CRN rows."""
+    import numpy as np
+
+    from ti_tpu.sampling.drivers import make_ode_sampler
+
+    A = jnp.asarray(np.random.RandomState(0).randn(3, 3).astype(np.float32)) * 0.3
+    f_of = lambda c: (lambda x, t: c * (A @ x))
+
+    def dlogps(crn):
+        s = make_ode_sampler(
+            f_of, solver="rk4", n_steps=4, return_dlogp=True,
+            divergence="hutchinson", num_probes=2,
+            dlogp_quad_points=4, dlogp_quad="gauss", probe_crn=crn,
+        )
+        sol = s(jnp.ones((3, 3)), jnp.ones(3), jax.random.PRNGKey(0))
+        return np.asarray(sol.dlogp[:, -1])
+
+    ind, crn = dlogps(False), dlogps(True)
+    assert np.allclose(crn, crn[0])
+    assert not np.allclose(ind, ind[0])

@@ -41,6 +41,18 @@ def _compute_dtype(cfg):
     raise ValueError(f"unknown compute_dtype {name!r} (use f32, bf16 or bf16_agg)")
 
 
+def _chain_keys(key, n, crn: bool):
+    """Per-chain PRNG keys; with ``crn`` every chain gets the SAME key
+    (common random numbers). For stochastic divergences the probe noise in
+    dlogp then correlates across chains — self-normalized importance
+    weights are invariant to the COMMON component of that noise, so CRN
+    recovers part of the ESS the independent draws give away
+    (BASELINE.md probe-study rows). No effect on exact divergence."""
+    if crn:
+        return jnp.broadcast_to(key, (n,) + jnp.shape(key))
+    return jax.random.split(key, n)
+
+
 def make_ode_sampler(
     v_fn_of: Callable,
     *,
@@ -60,6 +72,7 @@ def make_ode_sampler(
     dlogp_quad: str = "simpson",
     num_probes: int = 8,
     div_axis: Optional[str] = None,
+    probe_crn: bool = False,
 ):
     """Build a batched transport sampler.
 
@@ -122,14 +135,14 @@ def make_ode_sampler(
                 n_save=n_save, gl_points=dlogp_quad_points,
                 divergence=divergence, div_chunk=div_chunk,
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-                div_axis=div_axis,
+                div_axis=div_axis, probe_crn=probe_crn,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
             divergence=divergence, div_chunk=div_chunk,
             steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-            div_axis=div_axis,
+            div_axis=div_axis, probe_crn=probe_crn,
         )
 
     if steps_per_dispatch is None:
@@ -151,7 +164,7 @@ def make_ode_sampler(
 
         @jax.jit
         def sampler(x0s, conds, key):
-            keys = jax.random.split(key, x0s.shape[0])
+            keys = _chain_keys(key, x0s.shape[0], probe_crn)
             return jax.vmap(one)(x0s, conds, keys)
 
         return sampler
@@ -225,6 +238,7 @@ def _segmented_fixed_sampler(
 def _quad_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
+    probe_crn=False,
 ):
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
@@ -246,7 +260,7 @@ def _quad_dlogp_sampler(
         # single-dispatch: the integrator-level implementation end to end
         @jax.jit
         def sampler_single(x0s, conds, key):
-            keys = jax.random.split(key, x0s.shape[0])
+            keys = _chain_keys(key, x0s.shape[0], probe_crn)
             return jax.vmap(
                 lambda x, c, k: sample_ode_quad_dlogp(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
@@ -290,7 +304,7 @@ def _quad_dlogp_sampler(
 
             return jax.lax.map(node, (xs_p, ts, jnp.arange(xs_p.shape[0])))
 
-        keys = jax.random.split(key, xs_grid.shape[0])
+        keys = _chain_keys(key, xs_grid.shape[0], probe_crn)
         return jax.vmap(one_chain)(xs_grid, conds, keys)
 
     n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
@@ -322,6 +336,7 @@ def _quad_dlogp_sampler(
 def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
+    probe_crn=False,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -345,7 +360,7 @@ def _gauss_dlogp_sampler(
 
         @jax.jit
         def sampler_single(x0s, conds, key):
-            keys = jax.random.split(key, x0s.shape[0])
+            keys = _chain_keys(key, x0s.shape[0], probe_crn)
             return jax.vmap(
                 lambda x, c, k: sample_ode_gauss_dlogp(
                     v_fn_of(c), x, t0=t0, t1=t1, n_steps=n_steps,
@@ -408,7 +423,7 @@ def _gauss_dlogp_sampler(
 
             return jax.lax.map(node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])))
 
-        keys = jax.random.split(key, xs_nodes.shape[0])
+        keys = _chain_keys(key, xs_nodes.shape[0], probe_crn)
         return jax.vmap(one_chain)(xs_nodes, conds, keys)
 
     # node positions within `bounds`: every index except save boundaries
