@@ -60,7 +60,8 @@ class ADWConfig:
     n_step: int = 400
     solver_type: str = "dopri5"  # or euler/heun/rk4
     divergence: str = "exact"
-    num_probes: int = 8  # Hutchinson probe count (divergence="hutchinson")
+    num_probes: int = 8  # stochastic-divergence probe/query count (hutchinson/hutchpp)
+    probe_crn: bool = False  # share probes across chains (good for ESS/marginals, biases absolute dF — BASELINE.md)
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
     dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)
@@ -127,7 +128,8 @@ class MDQM9Config:
     n_steps: int = 100
     solver_type: str = "dopri5"
     divergence: str = "exact"
-    num_probes: int = 8  # Hutchinson probe count (divergence="hutchinson")
+    num_probes: int = 8  # stochastic-divergence probe/query count (hutchinson/hutchpp)
+    probe_crn: bool = False  # share probes across chains (good for ESS/marginals, biases absolute dF — BASELINE.md)
     compute_dtype: str = "f32"  # or "bf16": mixed-precision sampling path
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes

@@ -558,6 +558,7 @@ def sample_adw(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
     x0j = jnp.asarray(x0, jnp.float32)
@@ -669,6 +670,7 @@ def sample_ambient(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
     if latent_z is None:
@@ -754,6 +756,7 @@ def sample_latent(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
