@@ -20,3 +20,11 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (opt-out: TI_TPU_NO_COMPILE_CACHE=1).
+# Every CLI process recompiles the same samplers otherwise — see
+# ti_tpu/utils/compile_cache.py for rationale and knobs.
+from ti_tpu.utils.compile_cache import enable_compile_cache as _enable_compile_cache
+
+_enable_compile_cache()
+del _enable_compile_cache
