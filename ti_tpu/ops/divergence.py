@@ -27,7 +27,9 @@ scalar ``psum`` per evaluation (pure ICI latency, no bandwidth). Pass
 axis; see ``ti_tpu.parallel.mesh.lane_parallel_sampler`` for the wrapper.
 This is the intra-molecule (tensor-parallel-like) scaling axis: it cuts
 the LATENCY of a single chain's dlogp, complementary to chain sharding's
-throughput axis. The reference's 1e-2/1e2 divergence scaling hack
+throughput axis.
+
+The reference's 1e-2/1e2 divergence scaling hack
 (adw/thermo/models/ode_wrapper.py:67, adw/thermo/integrators.py:68) — a
 conditioning trick for torchdiffeq's per-state adaptive tolerances — is
 dropped: it cancels exactly (div·1e-2 integrated, then dlogp·1e2) and our
