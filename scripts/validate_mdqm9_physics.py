@@ -59,6 +59,9 @@ def main(argv):
                          "the SAME field")
     ap.add_argument("--eval_steps", type=lambda s: [int(v) for v in s.split(",")],
                     default=[64], help="comma list; first = headline, rest = step study")
+    ap.add_argument("--solver", choices=["euler", "heun", "rk4"], default="rk4",
+                    help="fixed-step trajectory solver for the transport "
+                         "(solver-order study on the trained field)")
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
     ap.add_argument("--gl_points", type=int, default=10)
@@ -176,7 +179,7 @@ def main(argv):
 
     def transport(n_steps, quad, dtype_name="f32"):
         sampler = make_ode_sampler(
-            v_fn_of_dtype(dtype_name), solver="rk4", n_steps=n_steps, n_save=2,
+            v_fn_of_dtype(dtype_name), solver=args.solver, n_steps=n_steps, n_save=2,
             return_dlogp=True, divergence=args.divergence,
             num_probes=args.num_probes, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
@@ -249,6 +252,7 @@ def main(argv):
         "dF_abs_err": abs(dF_est - dF_exact),
         "ess": ess, "ess_frac": ess / len(x1),
         "eval_steps": args.eval_steps[0],
+        "solver": args.solver,
         "quad_dlogp": bool(args.quad_dlogp),
         "divergence": args.divergence,
         "compute_dtype": headline_dtype,

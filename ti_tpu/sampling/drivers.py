@@ -73,6 +73,7 @@ def make_ode_sampler(
     num_probes: int = 8,
     div_axis: Optional[str] = None,
     probe_crn: bool = False,
+    node_batch: Optional[int] = None,
 ):
     """Build a batched transport sampler.
 
@@ -96,6 +97,16 @@ def make_ode_sampler(
     odd total nodes; integrators.sample_ode_quad_dlogp) or "gauss"
     (Gauss-Legendre, dlogp_quad_points nodes PER SAVE INTERVAL — typically
     8 nodes match Simpson-21+; integrators.sample_ode_gauss_dlogp).
+
+    ``node_batch`` (quadrature paths only) evaluates the divergence nodes
+    in vmapped groups of this size instead of strictly sequentially — the
+    per-node results are identical (tests/test_integrators.py::
+    test_node_batch_matches_sequential). MEASURED DEAD END on v5e at both
+    production scales (ROADMAP.md): the divergence node is HBM-bound, so
+    batching nodes only multiplies live tangent buffers — 00031/128-chain
+    headline 125->111 samples/s at node_batch=4 (OOM at 8), 10506/16-chain
+    14.0->12.4 (OOM at 8); exact divergence OOMs at node_batch=2. Kept as
+    the experiment record; leave at None.
     """
 
     # deadline warnings are conditioned on divergence='exact': hutchinson
@@ -135,14 +146,14 @@ def make_ode_sampler(
                 n_save=n_save, gl_points=dlogp_quad_points,
                 divergence=divergence, div_chunk=div_chunk,
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-                div_axis=div_axis, probe_crn=probe_crn,
+                div_axis=div_axis, probe_crn=probe_crn, node_batch=node_batch,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
             divergence=divergence, div_chunk=div_chunk,
             steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-            div_axis=div_axis, probe_crn=probe_crn,
+            div_axis=div_axis, probe_crn=probe_crn, node_batch=node_batch,
         )
 
     if steps_per_dispatch is None:
@@ -238,7 +249,7 @@ def _segmented_fixed_sampler(
 def _quad_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
-    probe_crn=False,
+    probe_crn=False, node_batch=None,
 ):
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
@@ -267,6 +278,7 @@ def _quad_dlogp_sampler(
                     div_points=div_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
                     num_probes=num_probes, div_axis=div_axis,
+                    node_batch=node_batch,
                 )
             )(x0s, conds, keys)
 
@@ -302,7 +314,10 @@ def _quad_dlogp_sampler(
                     axis_name=div_axis,
                 )[1]
 
-            return jax.lax.map(node, (xs_p, ts, jnp.arange(xs_p.shape[0])))
+            return jax.lax.map(
+                node, (xs_p, ts, jnp.arange(xs_p.shape[0])),
+                batch_size=node_batch,
+            )
 
         keys = _chain_keys(key, xs_grid.shape[0], probe_crn)
         return jax.vmap(one_chain)(xs_grid, conds, keys)
@@ -336,7 +351,7 @@ def _quad_dlogp_sampler(
 def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
-    probe_crn=False,
+    probe_crn=False, node_batch=None,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -367,6 +382,7 @@ def _gauss_dlogp_sampler(
                     gl_points=gl_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
                     num_probes=num_probes, div_axis=div_axis,
+                    node_batch=node_batch,
                 )
             )(x0s, conds, keys)
 
@@ -421,7 +437,10 @@ def _gauss_dlogp_sampler(
                     axis_name=div_axis,
                 )[1]
 
-            return jax.lax.map(node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])))
+            return jax.lax.map(
+                node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])),
+                batch_size=node_batch,
+            )
 
         keys = _chain_keys(key, xs_nodes.shape[0], probe_crn)
         return jax.vmap(one_chain)(xs_nodes, conds, keys)

@@ -466,6 +466,7 @@ def sample_ode_gauss_dlogp(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    node_batch: Optional[int] = None,
 ) -> ODESolution:
     """Transport with GAUSS-LEGENDRE-decoupled dlogp.
 
@@ -496,7 +497,13 @@ def sample_ode_gauss_dlogp(
         y = jnp.concatenate([jnp.reshape(x, (d,)), jnp.zeros((1,), x.dtype)])
         return -rhs(y, t, i)[d]
 
-    divs = jax.lax.map(div_at, (xs_nodes, ts_nodes, jnp.arange(flat_idx.shape[0])))
+    # node_batch: evaluate the quadrature nodes in vmapped groups of this
+    # size instead of strictly sequentially — trades divergence-node memory
+    # (per-lane tangent intermediates x node_batch) for larger fused batches.
+    divs = jax.lax.map(
+        div_at, (xs_nodes, ts_nodes, jnp.arange(flat_idx.shape[0])),
+        batch_size=node_batch,
+    )
     divs = divs.reshape(node_idx.shape)
     w = jnp.asarray(node_w, x0.dtype)
     per_interval = -jnp.sum(w * divs, axis=1)  # dlogp increment per interval
@@ -564,6 +571,7 @@ def sample_ode_quad_dlogp(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    node_batch: Optional[int] = None,
 ) -> ODESolution:
     """Transport with QUADRATURE-DECOUPLED dlogp — the fast product path.
 
@@ -617,8 +625,11 @@ def sample_ode_quad_dlogp(
         return -rhs(y, t, i)[d]  # rhs carries -div in the last slot
 
     # sequential over grid nodes (lax.map): bounds memory under chain-vmap
-    # and compiles like a scan body (one divergence trace)
-    divs = jax.lax.map(div_at, (sol.xs, ts, jnp.arange(div_points)))
+    # and compiles like a scan body (one divergence trace); node_batch
+    # evaluates nodes in vmapped groups instead (memory x node_batch)
+    divs = jax.lax.map(
+        div_at, (sol.xs, ts, jnp.arange(div_points)), batch_size=node_batch
+    )
 
     # cumulative composite Simpson of -div over pairs of intervals
     h = (t1 - t0) / m
