@@ -6,28 +6,37 @@ import sys
 
 sys.path.insert(0, ".")
 
-from ti_tpu.config import MDQM9Config, latent_preset, load_config
+from ti_tpu.config import MDQM9Config, fast_profile, latent_preset, load_config
 
 
 def parse(argv):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--preset", default=None, help="mol[:T], e.g. 00031 or 00031:800")
+    ap.add_argument("--fast_profile", action="store_true",
+                    help="apply the physics-qualified throughput profile "
+                         "(rk4 + GL-8 dlogp, bf16_agg, hutchinson with the "
+                         "scale-qualified probe count — config.fast_profile)")
     known, rest = ap.parse_known_args(argv)
     overrides = {}
     it = iter(rest)
     for k in it:
         overrides[k.lstrip("-")] = next(it)
     if known.config:
-        return load_config(known.config, MDQM9Config, **overrides)
-    if known.preset:
+        cfg = load_config(known.config, MDQM9Config, **overrides)
+    elif known.preset:
         parts = known.preset.split(":")
         Ts = [int(parts[1])] if len(parts) > 1 else None
-        return latent_preset(parts[0], Ts=Ts, **overrides)
-    cfg = MDQM9Config()
-    for k, v in overrides.items():
-        cur = getattr(cfg, k)
-        setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
+        cfg = latent_preset(parts[0], Ts=Ts, **overrides)
+    else:
+        cfg = MDQM9Config()
+        for k, v in overrides.items():
+            cur = getattr(cfg, k)
+            setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
+    if known.fast_profile:
+        cfg = fast_profile(cfg, **{
+            k: getattr(cfg, k) for k in overrides if hasattr(cfg, k)
+        })
     return cfg
 
 

@@ -129,6 +129,17 @@ def test_mdqm9_train_sample_results_cli(mdqm9_workspace):
     assert (tmp / "out" / "dlogps_smoke.npy").exists()
     n_unsharded = len(np.load(tmp / "out" / "samples_smoke.npy"))
 
+    # one-call qualified fast profile over the same checkpoint (explicit
+    # CPU-sized flags win over the profile: tiny probe count / step grid)
+    run(
+        ["scripts/mdqm9_sample_ambient.py", "--preset", "00031:300"]
+        + common
+        + ["--fast_profile", "--num_probes", "2", "--n_steps", "4",
+           "--data_save_name", "smoke_fast"]
+    )
+    lp_fast = np.load(tmp / "out" / "dlogps_smoke_fast.npy")
+    assert np.isfinite(lp_fast).all()
+
     # multi-host fan-out over the same CLI, then merge back
     (tmp / "out" / "samples_smoke.npy").unlink()
     for i in ("0", "1"):

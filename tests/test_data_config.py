@@ -164,3 +164,42 @@ def test_compute_dtype_config_mapping():
 
     with _pytest.raises(ValueError):
         _compute_dtype(MDQM9Config(compute_dtype="fp8"))
+
+
+def test_fast_profile():
+    """config.fast_profile applies the qualified throughput profile with
+    the SCALE-QUALIFIED probe count (BASELINE.md probe-study rows) and
+    keeps explicit overrides."""
+    from ti_tpu.config import fast_profile
+
+    small = fast_profile(ambient_preset("00031", 300))
+    assert (small.solver_type, small.n_steps) == ("rk4", 8)
+    assert (small.dlogp_quad, small.dlogp_quad_points) == ("gauss", 8)
+    assert (small.divergence, small.num_probes) == ("hutchinson", 16)
+    assert small.compute_dtype == "bf16_agg"
+    assert small.steps_per_dispatch == 25
+
+    large = fast_profile(ambient_preset("10506", 300))  # n_features=256
+    assert (large.num_probes, large.n_steps) == (32, 16)
+
+    over = fast_profile(ambient_preset("00031", 300), num_probes=24, divergence="exact")
+    assert (over.num_probes, over.divergence) == (24, "exact")
+
+    with pytest.raises(TypeError):
+        fast_profile(ADWConfig())
+
+
+def test_fast_profile_cli_flag():
+    """--fast_profile on the train/sample CLIs applies the profile while
+    explicit flags keep winning."""
+    from scripts.mdqm9_train_ambient import parse as parse_ambient
+    from scripts.mdqm9_train_latent import parse as parse_latent
+
+    cfg = parse_ambient(["--preset", "00031:300", "--fast_profile",
+                         "--num_probes", "24"])
+    assert (cfg.divergence, cfg.num_probes) == ("hutchinson", 24)
+    assert cfg.compute_dtype == "bf16_agg"
+
+    cfg = parse_latent(["--preset", "00031:800", "--fast_profile"])
+    assert (cfg.divergence, cfg.num_probes) == ("hutchinson", 16)
+    assert cfg.dlogp_quad == "gauss"
