@@ -34,7 +34,7 @@ def parse(argv):
             cur = getattr(cfg, k)
             setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
     if known.fast_profile:
-        cfg = fast_profile(cfg, **{
+        cfg = fast_profile(cfg, family="latent", **{
             k: getattr(cfg, k) for k in overrides if hasattr(cfg, k)
         })
     return cfg

@@ -185,8 +185,17 @@ def test_fast_profile():
     over = fast_profile(ambient_preset("00031", 300), num_probes=24, divergence="exact")
     assert (over.num_probes, over.divergence) == (24, "exact")
 
+    # latent family: only the latent-qualified settings (RK4-64 oracle,
+    # bf16 production chain); the divergence estimator is untouched
+    lat = fast_profile(latent_preset("00031", Ts=[800]), family="latent")
+    assert (lat.solver_type, lat.n_steps) == ("rk4", 64)
+    assert (lat.divergence, lat.compute_dtype) == ("exact", "bf16")
+    assert lat.dlogp_quad == "gauss"
+
     with pytest.raises(TypeError):
         fast_profile(ADWConfig())
+    with pytest.raises(ValueError):
+        fast_profile(ambient_preset("00031", 300), family="sde")
 
 
 def test_fast_profile_cli_flag():
@@ -201,5 +210,5 @@ def test_fast_profile_cli_flag():
     assert cfg.compute_dtype == "bf16_agg"
 
     cfg = parse_latent(["--preset", "00031:800", "--fast_profile"])
-    assert (cfg.divergence, cfg.num_probes) == ("hutchinson", 16)
-    assert cfg.dlogp_quad == "gauss"
+    assert (cfg.divergence, cfg.n_steps) == ("exact", 64)  # latent family
+    assert (cfg.dlogp_quad, cfg.compute_dtype) == ("gauss", "bf16")

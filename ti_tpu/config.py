@@ -207,20 +207,29 @@ def latent_preset(mol: str = "00031", Ts: Optional[Sequence[int]] = None, **over
     return _apply_overrides(cfg, overrides)
 
 
-def fast_profile(cfg: MDQM9Config, **overrides) -> MDQM9Config:
+def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM9Config:
     """Apply the physics-qualified THROUGHPUT profile to a sampling config.
 
     The parity default stays f32 + exact divergence (the reference's
-    estimator); this helper switches every knob of the benchmarked fast
-    path in one call — RK4 + Gauss-Legendre-8 decoupled dlogp, bf16_agg
-    mixed precision, Hutchinson divergence with the SCALE-QUALIFIED probe
-    count (BASELINE.md probe-study rows: 16 probes at 00031 capacity
-    where 16/24/32 all sit at the exact-divergence floor; 32 at 10506
-    capacity where fewer probes cost ESS and 8 collapses it), and bounded
-    dispatches for tunneled TPUs. Scale is inferred from ``n_features``
-    (>=256 = 10506 capacity); explicit ``**overrides`` win. Qualification
-    evidence: trained-field oracles in BASELINE.md (dF err at the
-    statistical floor for both capacities).
+    estimator); this helper switches the knobs of the benchmarked fast
+    path in one call, applying ONLY settings with qualification evidence
+    for the given experiment ``family`` (BASELINE.md):
+
+    - ``family="ambient"`` (T0->T1 transport): RK4-8/16 + Gauss-Legendre-8
+      decoupled dlogp, bf16_agg mixed precision, Hutchinson divergence
+      with the SCALE-QUALIFIED probe count (probe-study rows: 16 probes at
+      00031 capacity where 16/24/32 all sit at the exact-divergence floor;
+      32 at 10506 capacity where fewer probes cost ESS and 8 collapses
+      it), bounded dispatches. Scale inferred from ``n_features``
+      (>=256 = 10506 capacity).
+    - ``family="latent"`` (noise->data BG): RK4-64 (the step count the
+      latent partition-identity oracle qualified,
+      scripts/validate_latent_physics.py) + GL-8 dlogp, bf16 (the profile
+      the production BG->TI CLI chain ran end-to-end), bounded dispatches;
+      the divergence estimator is left at the config's value — the
+      Hutchinson probe ladder is ambient-qualified only.
+
+    Explicit ``**overrides`` win over the profile.
     """
     if not isinstance(cfg, MDQM9Config):
         raise TypeError(
@@ -228,17 +237,29 @@ def fast_profile(cfg: MDQM9Config, **overrides) -> MDQM9Config:
             "experiment's qualified fast path is RK4-64 + GL-8 exact dlogp "
             "(set solver_type/n_step/dlogp_quad* directly)"
         )
-    large = cfg.n_features >= 256
-    prof = dict(
-        solver_type="rk4",
-        n_steps=16 if large else 8,
-        dlogp_quad="gauss",
-        dlogp_quad_points=8,
-        divergence="hutchinson",
-        num_probes=32 if large else 16,
-        compute_dtype="bf16_agg",
-        steps_per_dispatch=25,
-    )
+    if family == "ambient":
+        large = cfg.n_features >= 256
+        prof = dict(
+            solver_type="rk4",
+            n_steps=16 if large else 8,
+            dlogp_quad="gauss",
+            dlogp_quad_points=8,
+            divergence="hutchinson",
+            num_probes=32 if large else 16,
+            compute_dtype="bf16_agg",
+            steps_per_dispatch=25,
+        )
+    elif family == "latent":
+        prof = dict(
+            solver_type="rk4",
+            n_steps=64,
+            dlogp_quad="gauss",
+            dlogp_quad_points=8,
+            compute_dtype="bf16",
+            steps_per_dispatch=25,
+        )
+    else:
+        raise ValueError(f"unknown family {family!r} (ambient/latent)")
     prof.update(overrides)
     return _apply_overrides(cfg, prof)
 
