@@ -4,6 +4,7 @@
 Usage: python scripts/adw_train.py [--config path.json] [--key value ...]
 """
 import argparse
+import json
 import sys
 
 sys.path.insert(0, ".")
@@ -24,7 +25,7 @@ def parse(argv):
     cfg = ADWConfig()
     for k, v in overrides.items():
         cur = getattr(cfg, k)
-        setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
+        setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else json.loads(v))
     return cfg
 
 

@@ -6,6 +6,7 @@ Usage: python scripts/mdqm9_train_ambient.py --preset 00031:300
    or: python scripts/mdqm9_train_ambient.py --config path.json
 """
 import argparse
+import json
 import sys
 
 sys.path.insert(0, ".")
@@ -35,7 +36,7 @@ def parse(argv):
         cfg = MDQM9Config()
         for k, v in overrides.items():
             cur = getattr(cfg, k)
-            setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
+            setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else json.loads(v))
     if known.fast_profile:
         # explicit flags already applied above stay (re-passed as overrides)
         cfg = fast_profile(cfg, **{

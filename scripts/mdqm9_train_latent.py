@@ -2,6 +2,7 @@
 """Train the MDQM9 latent Boltzmann generator
 (reference: python mdqm9/train_latent.py)."""
 import argparse
+import json
 import sys
 
 sys.path.insert(0, ".")
@@ -32,7 +33,7 @@ def parse(argv):
         cfg = MDQM9Config()
         for k, v in overrides.items():
             cur = getattr(cfg, k)
-            setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else eval(v))
+            setattr(cfg, k, type(cur)(v) if not isinstance(cur, list) else json.loads(v))
     if known.fast_profile:
         cfg = fast_profile(cfg, family="latent", **{
             k: getattr(cfg, k) for k in overrides if hasattr(cfg, k)
