@@ -41,13 +41,68 @@ Prints ONE JSON line. Extra context goes to stderr.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast if the TPU tunnel is stalled instead of hanging the bench.
+
+    The axon tunnel can stall outright: backend init / the first device op
+    hangs for 10+ minutes at ~zero CPU (CLAUDE.md gotcha). Backend init
+    happens in native code, so it cannot be timed out in-process — run the
+    canonical probe (a tiny matmul + scalar readback) in a child process
+    with a bounded wall clock, and exit with a clear diagnostic if it never
+    comes back.
+
+    The probe runs unconditionally (opt-out: TI_TPU_BENCH_NO_PROBE=1):
+    the JAX_PLATFORMS env var is NOT a reliable platform signal here —
+    the driver's sitecustomize re-pins ``jax_platforms`` through
+    ``jax.config.update`` at interpreter start, overriding the env var, so
+    an env-pinned "cpu" process still initializes the tunnel backend. The
+    child inherits this process's env and therefore resolves the exact
+    backend the bench itself will use; on a genuinely-CPU backend it
+    completes in seconds.
+    """
+    if os.environ.get("TI_TPU_BENCH_NO_PROBE"):
+        return
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))))"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] FATAL: backend probe did not complete within "
+            f"{timeout_s:.0f}s — the TPU tunnel looks stalled (backend init "
+            f"hangs at ~zero CPU; it clears on its own — retry later, or "
+            f"set TI_TPU_BENCH_NO_PROBE=1 to bypass the guard).",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    if res.returncode != 0:
+        print(
+            f"[bench] FATAL: backend probe exited {res.returncode} — the "
+            f"device backend is broken (run the probe manually for the "
+            f"traceback: python -c {probe!r}).",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
 def main(quick: bool = False):
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
