@@ -21,6 +21,14 @@ Subpackages
 
 __version__ = "0.1.0"
 
+# Make an explicit JAX_PLATFORMS=cpu (etc.) env pin effective even when a
+# sitecustomize has pinned jax_platforms through jax.config — see
+# ti_tpu/utils/platform.py. Must run before anything initializes backends.
+from ti_tpu.utils.platform import honor_env_platforms as _honor_env_platforms
+
+_honor_env_platforms()
+del _honor_env_platforms
+
 # Persistent XLA compilation cache (opt-out: TI_TPU_NO_COMPILE_CACHE=1).
 # Every CLI process recompiles the same samplers otherwise — see
 # ti_tpu/utils/compile_cache.py for rationale and knobs.
