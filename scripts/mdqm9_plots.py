@@ -21,7 +21,10 @@ and an h5-backed MD reference (--ref_tag h5_md) plots the torsion
 marginals + TICA only, like the reference 10506 report.
 
 Writes torsions/bond_angles/bond_lengths marginal grids (PNG) and, when a
-reference ensemble is given, the MD-vs-generated TICA plane.
+reference ensemble is given, the MD-vs-generated TICA plane. With
+--eigs_dir (artifacts from scripts/mdqm9_gedmd.py) it also renders the
+eigenvalue-vs-T kinetics figure with 95% bootstrap bands across sources
+(reference 10506_main.ipynb); --eigs_dir alone skips the marginals.
 """
 import argparse
 import os
@@ -37,9 +40,9 @@ from ti_tpu.analysis.weights import calc_ti_weights, weights_filter_iqr
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--results_dir", required=True,
+    ap.add_argument("--results_dir", default=None,
                     help="dir with torsions_/bond_angles_/bond_lengths_<tag>.npy")
-    ap.add_argument("--tag", required=True, help="generated-ensemble tag")
+    ap.add_argument("--tag", default=None, help="generated-ensemble tag")
     ap.add_argument("--ref_tag", default=None,
                     help="reference (MD) ensemble tag in the same results_dir")
     ap.add_argument("--data_dir", default=None,
@@ -50,10 +53,46 @@ def main(argv=None):
                     help="name of a saved weights array in results_dir "
                     "(full-report mode, e.g. weights_md_ti)")
     ap.add_argument("--lag", type=int, default=10, help="TICA lag (frames)")
+    ap.add_argument("--eigs_dir", default=None,
+                    help="dir with <src>_eigenvalues_{mean,lower_bound,"
+                    "upper_bound}.npy from scripts/mdqm9_gedmd.py — renders "
+                    "the eigenvalue-vs-T kinetics figure (10506_main.ipynb)")
+    ap.add_argument("--eig_sources", default="md,md_ti,bg,bg_ti",
+                    help="comma-separated source prefixes in --eigs_dir; "
+                    "missing sources are skipped")
     ap.add_argument("--out", default="figures")
     args = ap.parse_args(argv)
 
+    if not (args.results_dir and args.tag) and not args.eigs_dir:
+        ap.error("need --results_dir + --tag (marginals) and/or --eigs_dir")
+
     os.makedirs(args.out, exist_ok=True)
+
+    if args.eigs_dir:
+        from ti_tpu.analysis.plots import plot_eigenvalues_vs_T
+
+        curves = {}
+        for src in args.eig_sources.split(","):
+            src = src.strip()
+            paths = [
+                os.path.join(args.eigs_dir, f"{src}_{part}.npy")
+                for part in ("temps", "eigenvalues_mean",
+                             "eigenvalues_lower_bound",
+                             "eigenvalues_upper_bound")
+            ]
+            if not all(os.path.exists(p) for p in paths):
+                continue
+            curves[src] = tuple(np.load(p) for p in paths)
+        if not curves:
+            raise SystemExit(
+                f"no <src>_temps/eigenvalues_*.npy quadruplets for sources "
+                f"{args.eig_sources!r} in {args.eigs_dir}"
+            )
+        out_path = os.path.join(args.out, "eigenvalues_vs_T.png")
+        plot_eigenvalues_vs_T(curves, out_path=out_path)
+        print(f"wrote {out_path} (sources: {', '.join(curves)})")
+        if not (args.results_dir and args.tag):
+            return
 
     # the full report's MD-reference naming quirk (results_00031.py:315-316)
     _QUIRKS = {("bond_lengths", "md_T0"): "bond_lengths_md_0",

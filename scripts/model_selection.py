@@ -6,7 +6,8 @@ Scans (sigma, p) for the reversible generator on either:
 - ADW samples (``--adw_dir <data_dir> --epoch E --beta B``: loads the
   ``beta_<beta0>_to_<B>`` samples artifact, a = 2/beta), or
 - molecular torsions (``--torsions results/torsions_<tag>.npy --T 300``:
-  (m, d) or (d, m) array, a = 2/beta(T) in kJ/mol units).
+  (m, d) or (d, m) array, a = 1/beta(T) in kJ/mol units per the molecular
+  reference convention — the ADW branch uses 2/beta like its reference).
 
 Writes the EV/VAMP grids as npz and prints the VAMP-optimal (sigma, p).
 
@@ -60,7 +61,9 @@ def main(argv=None):
     else:
         t = np.load(args.torsions)
         X = t.T if t.shape[0] > t.shape[1] else t  # (d, m)
-        a = 2.0 / beta_kj_per_mol(args.T)
+        # molecular convention a = 1/beta (mdqm9/analysis/model_selection.py:46,
+        # gedmd.py:12) — the ADW branch above uses 2/beta like its reference
+        a = 1.0 / beta_kj_per_mol(args.T)
         # reference molecular grid (mdqm9/analysis/model_selection.py)
         sigmas = args.sigmas or [0.5, 1.0, 2.0, 3.0, 5.0, 8.0, 12.0]
         ps = args.ps or [50, 100, 200, 300, 400, 500]

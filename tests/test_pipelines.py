@@ -87,6 +87,34 @@ def test_torsion_generator_spectrum_shapes():
     assert np.isfinite(out["eigenvalues_mean"]).all()
 
 
+def test_torsion_spectrum_uses_molecular_diffusion_convention():
+    """The molecular kinetics scripts use a = 1/beta
+    (mdqm9/analysis/gedmd.py:12) — NOT the ADW pipeline's 2/beta.
+    Eigenvalues of the reversible generator are linear in the constant
+    diffusion a, so the convention is pinned by comparing against a
+    direct bootstrap call at a = 1/beta (and 2x that at a = 2/beta)."""
+    from ti_tpu.gedmd.rff import bootstrap_generator_eigenvalues, sample_rff_gaussian
+
+    rng = np.random.default_rng(1)
+    torsions = rng.uniform(-np.pi, np.pi, (2, 1500))
+    T = 500.0
+    out = torsion_generator_spectrum(
+        torsions, T=T, p=40, sigma=5.0, nev=3, n_bootstrap=8, seed=0
+    )
+    Omega = sample_rff_gaussian(0, 2, 40, 5.0)
+    beta = beta_kj_per_mol(T)
+    mean1, _, _ = bootstrap_generator_eigenvalues(
+        np.asarray(torsions, np.float64), Omega, nev=3, a=1.0 / beta,
+        tol=1e-4, n_bootstrap=8, seed=0,
+    )
+    np.testing.assert_allclose(out["eigenvalues_mean"], mean1, rtol=1e-10)
+    mean2, _, _ = bootstrap_generator_eigenvalues(
+        np.asarray(torsions, np.float64), Omega, nev=3, a=2.0 / beta,
+        tol=1e-4, n_bootstrap=8, seed=0,
+    )
+    np.testing.assert_allclose(2.0 * mean1, mean2, rtol=1e-8)
+
+
 def test_model_selection_scan_small():
     dens = BoltzmannDensity1D(beta=1.0)
     X = dens.sample(2, 2000).reshape(1, -1)

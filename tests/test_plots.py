@@ -122,3 +122,77 @@ def test_adw_plots_cli(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert (tmp_path / "fig.png").stat().st_size > 1000
+
+
+def test_plot_eigenvalues_vs_T_writes_file(tmp_path):
+    rng = np.random.default_rng(7)
+    curves = {}
+    for src, temps in (("md", [300.0, 500.0, 700.0]), ("md_ti", [300.0, 500.0])):
+        n_T = len(temps)
+        mean = np.sort(rng.uniform(0.1, 3.0, (n_T, 4)), axis=1)[:, ::-1]
+        mean[:, -1] = 0.0  # stationary eigenvalue in the descending layout
+        curves[src] = (np.asarray(temps), mean, mean - 0.05, mean + 0.05)
+    from ti_tpu.analysis.plots import plot_eigenvalues_vs_T
+
+    out = tmp_path / "eigs.png"
+    plot_eigenvalues_vs_T(curves, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_mdqm9_gedmd_cli_and_kinetics_figure(tmp_path):
+    """scripts/mdqm9_gedmd.py sweeps temperatures into the reference's
+    {src}_eigenvalues_{mean,lower_bound,upper_bound}.npy artifacts
+    (10506_main.ipynb inputs, reference mdqm9/analysis/gedmd.py), then
+    scripts/mdqm9_plots.py --eigs_dir renders the eigenvalue-vs-T figure."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(8)
+    for T in (300, 500):
+        t = rng.vonmises(0.0, 4.0 * 300.0 / T, size=(1200, 3))
+        np.save(tmp_path / f"torsions_{T}k.npy", t)
+    np.save(tmp_path / "weights_300k.npy", np.ones(1200))
+    np.save(tmp_path / "weights_500k.npy", np.ones(1200))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg")
+
+    kin = tmp_path / "kin"
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_gedmd.py",
+         "--pattern", str(tmp_path / "torsions_{T}k.npy"),
+         "--temps", "300,500", "--src", "md_ti",
+         "--p", "40", "--n_bootstrap", "8", "--out_dir", str(kin)],
+        cwd=repo, capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    for part in ("eigenvalues_mean", "eigenvalues_lower_bound",
+                 "eigenvalues_upper_bound", "temps"):
+        p = kin / f"md_ti_{part}.npy"
+        assert p.exists(), p
+    mean = np.load(kin / "md_ti_eigenvalues_mean.npy")
+    lo = np.load(kin / "md_ti_eigenvalues_lower_bound.npy")
+    hi = np.load(kin / "md_ti_eigenvalues_upper_bound.npy")
+    assert mean.shape == (2, 4) and np.isfinite(mean).all()
+    assert np.all(lo <= hi + 1e-12)
+
+    # weights path: uniform weights must not crash (resample-then-bootstrap)
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_gedmd.py",
+         "--pattern", str(tmp_path / "torsions_{T}k.npy"),
+         "--weights_pattern", str(tmp_path / "weights_{T}k.npy"),
+         "--temps", "300", "--src", "bg_ti",
+         "--p", "40", "--n_bootstrap", "4", "--out_dir", str(kin)],
+        cwd=repo, capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py", "--eigs_dir", str(kin),
+         "--out", str(tmp_path / "figs")],
+        cwd=repo, capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "md_ti" in r.stdout and "bg_ti" in r.stdout
+    p = tmp_path / "figs" / "eigenvalues_vs_T.png"
+    assert p.exists() and p.stat().st_size > 1000

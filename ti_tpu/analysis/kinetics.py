@@ -42,14 +42,20 @@ def torsion_generator_spectrum(
 ) -> Dict[str, np.ndarray]:
     """Bootstrap generator eigenvalues on torsion coordinates at
     temperature T (reference mdqm9/analysis/gedmd.py:36-56; p=300,
-    sigma=5.0 at :13-16). torsions: (d, m) with d the number of torsions."""
+    sigma=5.0 at :13-16). torsions: (d, m) with d the number of torsions.
+
+    Diffusion convention: the molecular scripts use a = 1/beta
+    (mdqm9/analysis/gedmd.py:12, model_selection.py:46) — NOTE this
+    differs from the ADW pipeline's a = 2/beta
+    (adw/analysis/reweight_gedmd.py:41); eigenvalues scale linearly
+    with a, so mixing the two is a clean 2x scale error."""
     torsions = np.asarray(torsions, dtype=np.float64)
     d = torsions.shape[0]
     if Omega is None:
         Omega = sample_rff_gaussian(seed, d, p, sigma)
     beta = beta_kj_per_mol(T)
     mean, lo, hi = bootstrap_generator_eigenvalues(
-        torsions, Omega, nev=nev, a=2.0 / beta, tol=cut_svd,
+        torsions, Omega, nev=nev, a=1.0 / beta, tol=cut_svd,
         n_bootstrap=n_bootstrap, seed=seed,
     )
     return {"eigenvalues_mean": mean, "lower_bound": lo, "upper_bound": hi, "beta": beta}

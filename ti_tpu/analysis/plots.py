@@ -67,6 +67,56 @@ def plot_marginals(
     return fig
 
 
+def plot_eigenvalues_vs_T(
+    curves: dict,
+    out_path: Optional[str] = None,
+    drop_stationary: bool = True,
+):
+    """Generator eigenvalues (relaxation rates) vs temperature with 95%
+    bootstrap bands per sample source — the kinetics panel of the
+    reference's 10506_main.ipynb (it loads
+    ``{src}_eigenvalues_{mean,lower_bound,upper_bound}.npy`` per source
+    and overlays md / md_ti / bg / bg_ti).
+
+    curves: {label: (temps, mean, lower, upper)} with temps (n_T,) per
+    source (sources may cover different temperature subsets) and each
+    eigenvalue array shaped (n_T, nev) — the stacked output of
+    ``ti_tpu.analysis.kinetics.torsion_generator_spectrum`` over temps.
+    The stationary eigenvalue (~0, last index in the descending-negated
+    layout) is dropped from the panels unless ``drop_stationary=False``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nev = next(iter(curves.values()))[1].shape[1]
+    # descending-negated layout (gedmd filter_ev convention): column nev-1
+    # is the stationary lambda_1 ~ 0, column nev-2 the slowest relaxation
+    # lambda_2, ... — panels run lambda_2, lambda_3, ... left to right.
+    idx = list(range(nev - 2 if drop_stationary else nev - 1, -1, -1))
+    fig, axes = plt.subplots(
+        1, len(idx), figsize=(3.4 * len(idx), 3.0), squeeze=False, sharex=True
+    )
+    for k, i in enumerate(idx):
+        ax = axes[0][k]
+        for label, (temps, mean, lo, hi) in curves.items():
+            temps = np.asarray(temps)
+            (line,) = ax.plot(temps, np.asarray(mean)[:, i], marker="o", ms=3,
+                              lw=1.2, label=label)
+            ax.fill_between(temps, np.asarray(lo)[:, i], np.asarray(hi)[:, i],
+                            alpha=0.2, color=line.get_color())
+        ax.set_xlabel("T (K)")
+        ax.set_title(f"$\\lambda_{{{nev - i}}}$", fontsize=10)
+    axes[0][0].set_ylabel("eigenvalue (1/time)")
+    axes[0][0].legend(fontsize=8)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
 def tica(
     X: np.ndarray, lag: int, dim: int = 2, eps: float = 1e-6
 ) -> Tuple[np.ndarray, np.ndarray]:
