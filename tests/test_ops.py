@@ -171,9 +171,14 @@ def test_timing_utility():
 
     from ti_tpu.utils.timing import Stopwatch, device_time
 
-    a = jnp.ones((64, 64))
+    # the workload must dominate readback-latency noise on a loaded host:
+    # a 64x64 matmul once measured NEGATIVE here (mean-latency subtraction
+    # exceeded the timed call under contention) — device_time now floors
+    # at 0.0 and uses min-based latency, and the test uses a heavier op
+    a = jnp.ones((256, 256))
     t = device_time(lambda x, i: (x + i) @ x, a, reps=4)
     assert t > 0
+    assert t < 10.0  # sanity: well under the fenced whole-loop scale
 
     sw = Stopwatch()
     with sw("mm"):

@@ -10,7 +10,12 @@ and BASELINE.md's methodology note:
 - every measurement wraps ``reps`` evaluations in a device-side
   ``lax.scan`` with a scalar accumulator (forces sequential execution,
   amortizes dispatch) and is fenced by ONE scalar host read;
-- the measured round-trip latency is subtracted.
+- the measured round-trip latency is subtracted. Latency is the MIN of
+  its probe reps and the timed loop the MIN of 3 runs (the repo's
+  best-of-N convention, BASELINE.md timing note): shared-load wobble
+  inflates means, and a mean-latency subtraction can exceed a small
+  timed call outright. The result is floored at 0.0 (= below the
+  harness's resolution).
 
 Use ``device_time`` for jittable closures, ``Stopwatch`` for whole
 sampler calls (single-shot, latency-dominated only below ~100 ms).
@@ -34,10 +39,12 @@ def host_round_trip_latency(refresh: bool = False) -> float:
         g = jax.jit(lambda x: x + 1.0)
         a = jnp.zeros((8, 8))
         float(jnp.sum(g(a)))
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(5):
+            t0 = time.perf_counter()
             float(jnp.sum(g(a)))
-        _LATENCY = (time.perf_counter() - t0) / 5
+            best = min(best, time.perf_counter() - t0)
+        _LATENCY = best
     return _LATENCY
 
 
@@ -57,9 +64,12 @@ def device_time(fn: Callable, *args, reps: int = 8) -> float:
         return acc
 
     float(loop(*args))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0 - lat) / reps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - lat, 0.0) / reps
 
 
 class Stopwatch:
