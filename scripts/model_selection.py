@@ -64,9 +64,9 @@ def main(argv=None):
         # molecular convention a = 1/beta (mdqm9/analysis/model_selection.py:46,
         # gedmd.py:12) — the ADW branch above uses 2/beta like its reference
         a = 1.0 / beta_kj_per_mol(args.T)
-        # reference molecular grid (mdqm9/analysis/model_selection.py)
-        sigmas = args.sigmas or [0.5, 1.0, 2.0, 3.0, 5.0, 8.0, 12.0]
-        ps = args.ps or [50, 100, 200, 300, 400, 500]
+        # reference molecular grid (mdqm9/analysis/model_selection.py:17-21)
+        sigmas = args.sigmas or [5.0, 7.0, 9.0, 10.0, 11.0, 12.0, 12.5, 13.0]
+        ps = args.ps or [50, 100, 300, 500, 1000]
 
     if X.shape[1] > args.max_samples:
         rng = np.random.default_rng(args.seed)
