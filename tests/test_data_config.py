@@ -140,8 +140,14 @@ def test_config_roundtrip(tmp_path):
 
     lat = latent_preset("00031", Ts=[800])
     assert lat.model_save_name == "00031_latent_800K"
+    # reference latent-grid constants (mdqm9/config/latent/*.json):
+    # temp_length 75, 25k samples, batch 256 (10 only for 00031 allTs)
+    assert lat.temp_length == 75.0 and lat.n_latent_samples == 25_000
+    assert lat.batch_size == 256 and lat.n_steps == 400
+    assert latent_preset("00031").batch_size == 10
     lat_all = latent_preset("10506")
     assert len(lat_all.T) == 8
+    assert lat_all.n_features == 256 and lat_all.batch_size == 256
 
     adw = ADWConfig()
     out2 = clone_config(adw, str(tmp_path), "adw")

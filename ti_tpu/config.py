@@ -195,13 +195,27 @@ def ambient_preset(
 
 def latent_preset(mol: str = "00031", Ts: Optional[Sequence[int]] = None, **overrides) -> MDQM9Config:
     """Latent (Boltzmann-generator) presets (reference
-    mdqm9/config/latent/*.json): all temperatures or a single one."""
+    mdqm9/config/latent/*.json): all temperatures or a single one.
+
+    Constants from the reference latent grid: temp_length=75 (vs the
+    ambient stack's 100), n_samples=25000, n_steps=400; batch_size is 10
+    in 00031_latent_allTs_settings.json and 256 in the other two files.
+    align: the JSONs say "0", but the reference's type-inferred loader
+    keeps it a STRING and ``if self.align:`` (mdqm9/data/
+    mdqm9_latent.py:103) treats "0" as truthy — Kabsch alignment was
+    effectively always ON in the reference runs, so align=True here IS
+    the behavioral parity setting."""
     Ts = list(Ts) if Ts is not None else list(TEMP_GRID)
+    all_ts = len(Ts) > 1
     cfg = MDQM9Config(
         mdqm9_traj_filename=f"{mol}.npy",
+        n_features=128 if mol == "00031" else 256,
         T=Ts,
         n_steps=400,
-        model_save_name=f"{mol}_latent_{'allTs' if len(Ts) > 1 else str(Ts[0]) + 'K'}",
+        temp_length=75.0,
+        n_latent_samples=25_000,
+        batch_size=10 if (all_ts and mol == "00031") else 256,
+        model_save_name=f"{mol}_latent_{'allTs' if all_ts else str(Ts[0]) + 'K'}",
         data_save_path="generated_data/latent",
     )
     return _apply_overrides(cfg, overrides)
