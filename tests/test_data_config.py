@@ -218,3 +218,40 @@ def test_fast_profile_cli_flag():
     cfg = parse_latent(["--preset", "00031:800", "--fast_profile"])
     assert (cfg.divergence, cfg.n_steps) == ("exact", 64)  # latent family
     assert (cfg.dlogp_quad, cfg.compute_dtype) == ("gauss", "bf16")
+
+
+def test_reference_configs_load_verbatim(tmp_path, capsys):
+    """A reference user's existing JSON files must load unchanged
+    (MIGRATION.md): dead reference keys are skipped with a warning,
+    n_samples aliases to n_latent_samples for the mdqm9 families, and
+    genuinely unknown keys still raise."""
+    import json as _json
+
+    adw = {"a": 0.9, "beta0s": [1.0], "beta1s": [1.25],
+           "beta_trains": [0.25, 0.5], "sampling_model": "x/epoch_1.pt"}
+    p = tmp_path / "adw.json"
+    p.write_text(_json.dumps(adw))
+    cfg = load_config(str(p), ADWConfig)
+    assert cfg.a == 0.9 and not hasattr(cfg, "beta_trains")
+
+    lat = {"train_size": 0.8, "num_workers": 8, "n_samples": 25000,
+           "temp_length": 75, "T": [800]}
+    p = tmp_path / "lat.json"
+    p.write_text(_json.dumps(lat))
+    cfg = load_config(str(p), MDQM9Config)
+    assert cfg.n_latent_samples == 25000 and cfg.temp_length == 75
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"n_fetures": 128}))
+    with pytest.raises(KeyError):
+        load_config(str(bad), MDQM9Config)
+
+    # when the reference tree is present, sweep its actual files verbatim
+    import glob
+
+    ref = "/root/reference"
+    if os.path.isdir(os.path.join(ref, "adw", "config")):
+        for path in glob.glob(os.path.join(ref, "adw", "config", "*.json")):
+            load_config(path, ADWConfig)
+        for path in glob.glob(os.path.join(ref, "mdqm9", "config", "*", "*.json")):
+            load_config(path, MDQM9Config)

@@ -147,13 +147,51 @@ class MDQM9Config:
     project_name: str = "mdqm9-ti-tpu"
 
 
+# Verbatim reference-config compatibility (MIGRATION.md): keys a reference
+# JSON may carry that have no field here. Aliases are remapped; dead keys
+# (present in the reference configs but never read by any reference script,
+# or with no analog in this framework) are accepted with a warning so a
+# reference user's existing files load unchanged. CLI/keyword overrides
+# stay strict — a typo there should fail loudly.
+_KEY_ALIASES = {
+    # reference latent configs call the sampling count n_samples
+    # (mdqm9/sample_latent.py:19); ADWConfig has its own distinct n_samples
+    "MDQM9Config": {"n_samples": "n_latent_samples"},
+}
+_IGNORED_REFERENCE_KEYS = {
+    "ADWConfig": {
+        "beta_trains",  # never read by any reference script
+        "sampling_model",  # pickled-module path; use model_save_path + sampling_epoch
+    },
+    "MDQM9Config": {
+        "train_size",  # in every mdqm9 JSON, never read (data pre-split on disk)
+        "num_workers",  # torch DataLoader workers; host ingest here is eager
+    },
+}
+
+
 def load_config(path: str, cls=None, **overrides):
-    """Load a JSON config into a typed dataclass (+keyword overrides)."""
+    """Load a JSON config into a typed dataclass (+keyword overrides).
+
+    Reference-layout JSONs load verbatim: known dead reference keys are
+    skipped with a warning and reference key aliases are remapped
+    (_IGNORED_REFERENCE_KEYS / _KEY_ALIASES); unknown keys still raise."""
+    import sys
+
     with open(path) as f:
         data = json.load(f)
     kind = data.pop("_kind", None)
     if cls is None:
         cls = {"adw": ADWConfig, "mdqm9": MDQM9Config}.get(kind or "", MDQM9Config)
+    for src, dst in _KEY_ALIASES.get(cls.__name__, {}).items():
+        if src in data:
+            data[dst] = data.pop(src)
+    for k in _IGNORED_REFERENCE_KEYS.get(cls.__name__, ()) & set(data):
+        print(
+            f"[ti_tpu.config] ignoring reference-only key {k!r} = "
+            f"{data.pop(k)!r} ({path})",
+            file=sys.stderr,
+        )
     cfg = cls()
     _apply_overrides(cfg, data)
     _apply_overrides(cfg, overrides)
