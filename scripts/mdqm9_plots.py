@@ -53,6 +53,12 @@ def main(argv=None):
                     help="name of a saved weights array in results_dir "
                     "(full-report mode, e.g. weights_md_ti)")
     ap.add_argument("--lag", type=int, default=10, help="TICA lag (frames)")
+    ap.add_argument("--overlay", default=None,
+                    help="comma-separated tag[:weights_array] pairs for the "
+                    "multi-source reweighted-marginals overlay (the central "
+                    "00031_main.ipynb figure), e.g. "
+                    "'md_ti_1:weights_md_ti,bg_ti_1:weights_bg_ti_T1,"
+                    "bg_ref_T1:weights_bg_ref_T1'; drawn against --ref_tag")
     ap.add_argument("--eigs_dir", default=None,
                     help="dir with <src>_eigenvalues_{mean,lower_bound,"
                     "upper_bound}.npy from scripts/mdqm9_gedmd.py — renders "
@@ -63,8 +69,8 @@ def main(argv=None):
     ap.add_argument("--out", default="figures")
     args = ap.parse_args(argv)
 
-    if not (args.results_dir and args.tag) and not args.eigs_dir:
-        ap.error("need --results_dir + --tag (marginals) and/or --eigs_dir")
+    if not (args.results_dir and (args.tag or args.overlay)) and not args.eigs_dir:
+        ap.error("need --results_dir with --tag/--overlay, and/or --eigs_dir")
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -91,7 +97,7 @@ def main(argv=None):
         out_path = os.path.join(args.out, "eigenvalues_vs_T.png")
         plot_eigenvalues_vs_T(curves, out_path=out_path)
         print(f"wrote {out_path} (sources: {', '.join(curves)})")
-        if not (args.results_dir and args.tag):
+        if not (args.results_dir and (args.tag or args.overlay)):
             return
 
     # the full report's MD-reference naming quirk (results_00031.py:315-316)
@@ -107,6 +113,30 @@ def main(argv=None):
                 raise FileNotFoundError(p)
             return None
         return np.load(p)
+
+    if args.overlay:
+        from ti_tpu.analysis.plots import plot_marginals_overlay
+
+        series = {}
+        for spec in args.overlay.split(","):
+            tag, _, wname = spec.strip().partition(":")
+            vals = arr(args.results_dir, "torsions", tag)
+            w = None
+            if wname:
+                w = np.load(os.path.join(args.results_dir, f"{wname}.npy"))
+                if len(w) != len(vals):
+                    raise SystemExit(
+                        f"overlay weights/marginals length mismatch for "
+                        f"{tag!r}: {len(w)} weights ({wname}) vs {len(vals)} "
+                        f"samples"
+                    )
+            series[tag] = (vals, w)
+        ref = arr(args.results_dir, "torsions", args.ref_tag) if args.ref_tag else None
+        out_path = os.path.join(args.out, "torsions_overlay.png")
+        plot_marginals_overlay(series, reference=ref, kind="torsion", out_path=out_path)
+        print(f"wrote {out_path} (sources: {', '.join(series)})")
+        if not args.tag:
+            return
 
     weights = weights_path = None
     if args.weights:

@@ -196,3 +196,40 @@ def test_mdqm9_gedmd_cli_and_kinetics_figure(tmp_path):
     assert "md_ti" in r.stdout and "bg_ti" in r.stdout
     p = tmp_path / "figs" / "eigenvalues_vs_T.png"
     assert p.exists() and p.stat().st_size > 1000
+
+
+def test_mdqm9_plots_overlay_cli(tmp_path):
+    """--overlay renders the 00031_main multi-source reweighted-marginals
+    figure: tag[:weights] pairs against the MD reference."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(9)
+    res = tmp_path / "results"
+    res.mkdir()
+    for tag, n in (("md_ti_1", 500), ("bg_ti_1", 400), ("md_T1", 900)):
+        np.save(res / f"torsions_{tag}.npy", rng.vonmises(0.5, 2.0, (n, 3)))
+    np.save(res / "weights_md_ti.npy", rng.uniform(0.5, 2.0, 500))
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py", "--results_dir", str(res),
+         "--overlay", "md_ti_1:weights_md_ti,bg_ti_1", "--ref_tag", "md_T1",
+         "--out", str(tmp_path / "figs")],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    p = tmp_path / "figs" / "torsions_overlay.png"
+    assert p.exists() and p.stat().st_size > 1000
+    assert "md_ti_1" in r.stdout and "bg_ti_1" in r.stdout
+
+    # mismatched weights must fail with the two lengths in the message
+    np.save(res / "weights_bad.npy", np.ones(7))
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py", "--results_dir", str(res),
+         "--overlay", "md_ti_1:weights_bad", "--out", str(tmp_path / "figs")],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode != 0 and "mismatch" in (r.stdout + r.stderr)

@@ -67,6 +67,49 @@ def plot_marginals(
     return fig
 
 
+def plot_marginals_overlay(
+    series: dict,
+    reference: Optional[np.ndarray] = None,
+    names: Optional[Sequence[str]] = None,
+    kind: str = "torsion",
+    out_path: Optional[str] = None,
+):
+    """Multi-source reweighted marginals on shared panels — the central
+    00031_main.ipynb figure (per torsion: MD target vs md_ti / bg_ti /
+    bg_ref ensembles, each reweighted with its own saved weight array).
+
+    series: {label: (values (n, d), weights (n,) or None)};
+    reference: MD target ensemble (n_ref, d), drawn dashed black.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n_coords = next(iter(series.values()))[0].shape[1]
+    ncols = min(4, n_coords)
+    nrows = -(-n_coords // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 2.6 * nrows), squeeze=False)
+    rng = (-np.pi, np.pi) if kind == "torsion" else None
+    for i in range(n_coords):
+        ax = axes[i // ncols][i % ncols]
+        for label, (vals, w) in series.items():
+            c, h = reweighted_hist(np.asarray(vals)[:, i], weights=w, bins=60, range=rng)
+            ax.plot(c, h, label=label, lw=1.2)
+        if reference is not None:
+            c, h = reweighted_hist(np.asarray(reference)[:, i], bins=60, range=rng)
+            ax.plot(c, h, label="MD", lw=1.2, ls="--", color="k")
+        ax.set_title(names[i] if names else f"{kind} {i}", fontsize=9)
+    for j in range(n_coords, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    axes[0][0].legend(fontsize=8)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
 def plot_eigenvalues_vs_T(
     curves: dict,
     out_path: Optional[str] = None,
