@@ -66,13 +66,44 @@ def main(argv=None):
     ap.add_argument("--eig_sources", default="md,md_ti,bg,bg_ti",
                     help="comma-separated source prefixes in --eigs_dir; "
                     "missing sources are skipped")
+    ap.add_argument("--frames", default=None,
+                    help="samples .npy ((n, atoms, 3) or (n_save, n, atoms, 3),"
+                    " last save used) to render as 3-D molecule frames "
+                    "(the reference's mdqm9/plots/frames/*.png assets)")
+    ap.add_argument("--frames_sdf", default=None,
+                    help="SDF file for element colors and bonds (--frames)")
+    ap.add_argument("--frames_mol_index", type=int, default=0)
+    ap.add_argument("--max_frames", type=int, default=12)
     ap.add_argument("--out", default="figures")
     args = ap.parse_args(argv)
 
-    if not (args.results_dir and (args.tag or args.overlay)) and not args.eigs_dir:
-        ap.error("need --results_dir with --tag/--overlay, and/or --eigs_dir")
+    if (not (args.results_dir and (args.tag or args.overlay))
+            and not args.eigs_dir and not args.frames):
+        ap.error("need --results_dir with --tag/--overlay, --eigs_dir, "
+                 "and/or --frames")
 
     os.makedirs(args.out, exist_ok=True)
+
+    if args.frames:
+        from ti_tpu.analysis.plots import plot_molecule_frames
+
+        x = np.load(args.frames)
+        if x.ndim == 4:  # (n_save, n, atoms, 3): render the final time
+            x = x[-1]
+        if args.frames_sdf:
+            from ti_tpu.data.sdf import parse_sdf_v2000
+
+            mol = parse_sdf_v2000(args.frames_sdf, args.frames_mol_index)
+            z, bonds = mol.atomic_numbers, mol.bond_index
+        else:
+            z, bonds = np.full(x.shape[1], 6), None  # all-carbon fallback
+        base = os.path.splitext(os.path.basename(args.frames))[0]
+        out_path = os.path.join(args.out, f"frames_{base}.png")
+        plot_molecule_frames(x, z, bonds, out_path=out_path,
+                             max_frames=args.max_frames)
+        print(f"wrote {out_path}")
+        if not (args.results_dir and (args.tag or args.overlay)) and not args.eigs_dir:
+            return
 
     if args.eigs_dir:
         from ti_tpu.analysis.plots import plot_eigenvalues_vs_T

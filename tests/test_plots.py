@@ -233,3 +233,34 @@ def test_mdqm9_plots_overlay_cli(tmp_path):
         env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
     )
     assert r.returncode != 0 and "mismatch" in (r.stdout + r.stderr)
+
+
+def test_molecule_frames_render(tmp_path):
+    """plot_molecule_frames renders the reference's frames/*.png assets
+    in-repo; the CLI accepts raw samples npy (optionally with an SDF for
+    elements/bonds)."""
+    import os
+    import subprocess
+    import sys
+
+    from ti_tpu.analysis.plots import plot_molecule_frames
+    from ti_tpu.data.mdqm9 import make_synthetic_frames, make_synthetic_molecule
+
+    mol = make_synthetic_molecule(n_atoms=7, seed=4)
+    frames = make_synthetic_frames(mol, 5, 300, seed=0)
+    out = tmp_path / "frames.png"
+    plot_molecule_frames(frames, mol.atomic_numbers, mol.bond_index, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+    npy = tmp_path / "samples_x.npy"
+    np.save(npy, frames)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "scripts/mdqm9_plots.py", "--frames", str(npy),
+         "--max_frames", "4", "--out", str(tmp_path / "figs")],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    p = tmp_path / "figs" / "frames_samples_x.png"
+    assert p.exists() and p.stat().st_size > 1000

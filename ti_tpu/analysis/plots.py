@@ -67,6 +67,62 @@ def plot_marginals(
     return fig
 
 
+# CPK-ish element colors/radii for the frame renders (H C N O F)
+_ELEM_COLOR = {1: "#e8e8e8", 6: "#404040", 7: "#2e5fd0", 8: "#d02e2e", 9: "#2ed06e"}
+_ELEM_SIZE = {1: 60, 6: 160, 7: 170, 8: 170, 9: 150}
+
+
+def plot_molecule_frames(
+    frames: np.ndarray,
+    atomic_numbers: np.ndarray,
+    bond_index: Optional[np.ndarray] = None,
+    out_path: Optional[str] = None,
+    max_frames: int = 12,
+):
+    """Grid of 3-D molecule renders (the reference's
+    mdqm9/plots/frames/*.png figure assets consumed by 00031_main.ipynb's
+    plot_image cells — rendered in-repo with matplotlib instead of an
+    external tool).
+
+    frames: (n_frames, n_atoms, 3); bond_index: (2, n_edges) directed
+    bond table (each bond may appear twice; drawn once).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    frames = np.asarray(frames)[:max_frames]
+    z = np.asarray(atomic_numbers)
+    n = len(frames)
+    ncols = min(4, n)
+    nrows = -(-n // ncols)
+    fig = plt.figure(figsize=(3.0 * ncols, 3.0 * nrows))
+    bonds = []
+    if bond_index is not None:
+        bonds = sorted({tuple(sorted((int(s), int(d)))) for s, d in zip(*np.asarray(bond_index))})
+    for k, x in enumerate(frames):
+        ax = fig.add_subplot(nrows, ncols, k + 1, projection="3d")
+        x = x - x.mean(axis=0)
+        for s, d in bonds:
+            ax.plot(*np.stack([x[s], x[d]]).T, color="#909090", lw=1.5, zorder=1)
+        ax.scatter(
+            x[:, 0], x[:, 1], x[:, 2],
+            c=[_ELEM_COLOR.get(int(zi), "#b070d0") for zi in z],
+            s=[_ELEM_SIZE.get(int(zi), 180) for zi in z],
+            edgecolors="k", linewidths=0.4, depthshade=True, zorder=2,
+        )
+        r = float(np.abs(x).max()) * 1.1 + 1e-6
+        ax.set_xlim(-r, r), ax.set_ylim(-r, r), ax.set_zlim(-r, r)
+        ax.set_axis_off()
+        ax.set_title(f"frame {k}", fontsize=9)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
 def plot_marginals_overlay(
     series: dict,
     reference: Optional[np.ndarray] = None,
