@@ -264,3 +264,22 @@ def test_molecule_frames_render(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     p = tmp_path / "figs" / "frames_samples_x.png"
     assert p.exists() and p.stat().st_size > 1000
+
+
+def test_adw_schematic_cli(tmp_path):
+    """--schematic draws the double-well + Boltzmann-densities method
+    figure (reference toc.ipynb / 00031_main.ipynb plot_double_well)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "toc.png"
+    r = subprocess.run(
+        [sys.executable, "scripts/adw_plots.py", "--schematic",
+         "--betas", "1.0", "1.25", "--out", str(out)],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo, MPLBACKEND="Agg"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert out.exists() and out.stat().st_size > 1000
