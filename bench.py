@@ -64,14 +64,16 @@ def _probe_backend(timeout_s: float = 240.0) -> None:
     the driver's sitecustomize re-pins ``jax_platforms`` through
     ``jax.config.update`` at interpreter start, overriding the env var, so
     an env-pinned "cpu" process still initializes the tunnel backend. The
-    child inherits this process's env and therefore resolves the exact
-    backend the bench itself will use; on a genuinely-CPU backend it
-    completes in seconds.
+    child inherits this process's env and imports ti_tpu first — exactly
+    like the bench main below — so it resolves the same backend the bench
+    itself will use (ti_tpu's import re-asserts explicit non-TPU env pins,
+    ti_tpu/utils/platform.py); on a genuinely-CPU backend it completes in
+    seconds.
     """
     if os.environ.get("TI_TPU_BENCH_NO_PROBE"):
         return
     probe = (
-        "import jax, jax.numpy as jnp; "
+        "import ti_tpu, jax, jax.numpy as jnp; "
         "print(float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))))"
     )
     try:

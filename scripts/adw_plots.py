@@ -15,6 +15,7 @@ at the listed betas (the β0→β1 transport picture):
   python scripts/adw_plots.py --schematic --betas 1.0 1.25 [--out adw_toc.png]
 """
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -61,7 +62,11 @@ def main(argv=None):
         h2, l2 = ax2.get_legend_handles_labels()
         ax.legend(h1 + h2, l1 + l2, fontsize=8)
         fig.tight_layout()
-        out = args.out if args.out != "adw_lambda2.png" else "adw_schematic.png"
+        if not args.reweighted:
+            out = args.out if args.out != "adw_lambda2.png" else "adw_schematic.png"
+        else:  # both figures requested: never let lambda2 overwrite this one
+            root, ext = os.path.splitext(args.out)
+            out = f"{root}_schematic{ext or '.png'}"
         fig.savefig(out, dpi=150)
         print(f"wrote {out}")
         if not args.reweighted:

@@ -34,7 +34,7 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-from ti_tpu.analysis.kinetics import torsion_generator_spectrum
+from ti_tpu.analysis.kinetics import load_torsions, torsion_generator_spectrum
 from ti_tpu.analysis.weights import resample_with_weights
 from ti_tpu.gedmd.rff import sample_rff_gaussian
 
@@ -67,10 +67,12 @@ def main(argv=None):
 
     Omega = None  # one frequency draw shared across the sweep (gedmd.py:41)
     means, lowers, uppers = [], [], []
-    for T in temps:
+    for i, T in enumerate(temps):
+        # per-T seed stream: identical draws at every temperature would
+        # correlate the bootstrap bands across the whole sweep
+        seed_T = args.seed + i
         path = args.pattern.format(T=f"{T:g}")
-        t = np.load(path)
-        X = t.T if t.ndim == 2 and t.shape[0] > t.shape[1] else np.atleast_2d(t)
+        X = load_torsions(path, seed=seed_T)
         if args.weights_pattern:
             w = np.load(args.weights_pattern.format(T=f"{T:g}"))
             if len(w) != X.shape[1]:
@@ -78,15 +80,15 @@ def main(argv=None):
                     f"weights/torsions length mismatch at T={T:g}: "
                     f"{len(w)} weights vs {X.shape[1]} samples ({path})"
                 )
-            X = resample_with_weights(X.T, w, seed=args.seed).T
+            X = resample_with_weights(X.T, w, seed=seed_T).T
         if X.shape[1] > args.max_samples:
-            rng = np.random.default_rng(args.seed)
+            rng = np.random.default_rng(seed_T)
             X = X[:, rng.choice(X.shape[1], args.max_samples, replace=False)]
         if Omega is None:
             Omega = sample_rff_gaussian(args.seed, X.shape[0], args.p, args.sigma)
         out = torsion_generator_spectrum(
             X, T, nev=args.nev, cut_svd=args.cut_svd,
-            n_bootstrap=args.n_bootstrap, seed=args.seed, Omega=Omega,
+            n_bootstrap=args.n_bootstrap, seed=seed_T, Omega=Omega,
         )
         means.append(out["eigenvalues_mean"])
         lowers.append(out["lower_bound"])

@@ -77,8 +77,9 @@ def main(argv=None):
     ap.add_argument("--out", default="figures")
     args = ap.parse_args(argv)
 
-    if (not (args.results_dir and (args.tag or args.overlay))
-            and not args.eigs_dir and not args.frames):
+    if (args.tag or args.overlay) and not args.results_dir:
+        ap.error("--tag/--overlay require --results_dir")
+    if not (args.tag or args.overlay or args.eigs_dir or args.frames):
         ap.error("need --results_dir with --tag/--overlay, --eigs_dir, "
                  "and/or --frames")
 
@@ -102,7 +103,7 @@ def main(argv=None):
         plot_molecule_frames(x, z, bonds, out_path=out_path,
                              max_frames=args.max_frames)
         print(f"wrote {out_path}")
-        if not (args.results_dir and (args.tag or args.overlay)) and not args.eigs_dir:
+        if not (args.tag or args.overlay) and not args.eigs_dir:
             return
 
     if args.eigs_dir:
@@ -128,7 +129,7 @@ def main(argv=None):
         out_path = os.path.join(args.out, "eigenvalues_vs_T.png")
         plot_eigenvalues_vs_T(curves, out_path=out_path)
         print(f"wrote {out_path} (sources: {', '.join(curves)})")
-        if not (args.results_dir and (args.tag or args.overlay)):
+        if not (args.tag or args.overlay):
             return
 
     # the full report's MD-reference naming quirk (results_00031.py:315-316)

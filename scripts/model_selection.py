@@ -28,6 +28,7 @@ import numpy as np
 from ti_tpu.analysis.kinetics import (
     best_hyperparameters,
     beta_kj_per_mol,
+    load_torsions,
     model_selection_scan,
 )
 
@@ -59,8 +60,7 @@ def main(argv=None):
         sigmas = args.sigmas or [1e-2, 5e-2, 1e-1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1.0, 2.0]
         ps = args.ps or [50, 100, 200, 300, 400, 500]
     else:
-        t = np.load(args.torsions)
-        X = t.T if t.shape[0] > t.shape[1] else t  # (d, m)
+        X = load_torsions(args.torsions)  # (d, m)
         # molecular convention a = 1/beta (mdqm9/analysis/model_selection.py:46,
         # gedmd.py:12) — the ADW branch above uses 2/beta like its reference
         a = 1.0 / beta_kj_per_mol(args.T)

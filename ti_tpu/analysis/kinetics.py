@@ -22,6 +22,20 @@ from ti_tpu.gedmd.rff import (
 KB_KJ_PER_MOL_K = 0.008314462618  # Boltzmann constant in kJ/(mol K)
 
 
+def load_torsions(path: str, max_samples: Optional[int] = None, seed: int = 0) -> np.ndarray:
+    """Load a torsions .npy as (d, m): the on-disk arrays are (m, d) or
+    (d, m) (the results layer saves sample-major, the reference's kinetics
+    scripts consume feature-major) — disambiguated by m >> d; optional
+    uniform subsample to bound the bootstrap cost. Shared by
+    scripts/mdqm9_gedmd.py and scripts/model_selection.py."""
+    t = np.load(path)
+    X = t.T if t.ndim == 2 and t.shape[0] > t.shape[1] else np.atleast_2d(t)
+    if max_samples is not None and X.shape[1] > max_samples:
+        rng = np.random.default_rng(seed)
+        X = X[:, rng.choice(X.shape[1], max_samples, replace=False)]
+    return X
+
+
 def beta_kj_per_mol(T: float) -> float:
     """Inverse temperature 1/(kB T) in (kJ/mol)^-1 — the unit convention of
     the reference torsion-kinetics script (mdqm9/analysis/gedmd.py:22-34)."""

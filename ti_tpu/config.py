@@ -186,7 +186,7 @@ def load_config(path: str, cls=None, **overrides):
     for src, dst in _KEY_ALIASES.get(cls.__name__, {}).items():
         if src in data:
             data[dst] = data.pop(src)
-    for k in _IGNORED_REFERENCE_KEYS.get(cls.__name__, ()) & set(data):
+    for k in _IGNORED_REFERENCE_KEYS.get(cls.__name__, frozenset()) & set(data):
         print(
             f"[ti_tpu.config] ignoring reference-only key {k!r} = "
             f"{data.pop(k)!r} ({path})",
