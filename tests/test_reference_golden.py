@@ -299,3 +299,202 @@ def test_gedmd_koopman_operator_golden():
     np.testing.assert_allclose(
         np.sort_complex(d_ours), np.sort_complex(d_ref), rtol=1e-5, atol=1e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings (the extrapolation-sensitive normalization)
+# ---------------------------------------------------------------------------
+
+
+def _ref_embedding():
+    """Import the reference embedding module.
+
+    It needs (a) a torch_geometric stub — the real package is not in this
+    image and the module only uses it for type annotations — and (b)
+    /root/reference/mdqm9 on sys.path because it imports
+    `thermo.ambient.models` relative to the mdqm9 root."""
+    import importlib
+    import types
+
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_data = types.ModuleType("torch_geometric.data")
+        tg_data.Batch = type("Batch", (), {})
+        tg_data.Data = type("Data", (), {})
+        tg.data = tg_data
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.data"] = tg_data
+    mdqm9_root = os.path.join(REF, "mdqm9")
+    if mdqm9_root not in sys.path:
+        sys.path.insert(0, mdqm9_root)
+    return importlib.import_module("mdqm9.thermo.ambient.models.embedding")
+
+
+def test_positional_encoder_golden():
+    import torch
+
+    RefPE = _ref_embedding().PositionalEncoder
+
+    from ti_tpu.models.embeddings import positional_encoding
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0.0, 1.0, (40,)).astype(np.float32)
+    for dim, max_length in [(8, 1.0), (16, 10.0), (100, 100.0)]:
+        ref = RefPE(dim, max_length)
+        out_ref = ref(torch.tensor(x)).numpy()
+        out_ours = np.asarray(positional_encoding(x, dim, max_length))
+        np.testing.assert_allclose(out_ours, out_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_temperature_encoder_golden():
+    """Center-by-mean-of-known-temps + scale-by-range normalization
+    (mdqm9/thermo/ambient/models/embedding.py:184-212) — the part that
+    makes leave-one-T-out extrapolation work; must match elementwise,
+    including at a temperature OUTSIDE the known list."""
+    import torch
+
+    RefTE = _ref_embedding().TemperatureEncoder
+
+    from ti_tpu.models.embeddings import temperature_encoding
+
+    temps = [300.0, 400.0, 500.0, 700.0, 800.0, 900.0, 1000.0]  # no 600
+    ref = RefTE(n_features=100, max_length=100.0, temperatures=temps)
+    T = np.array([300.0, 600.0, 1000.0, 450.0], dtype=np.float32)
+    out_ref = ref(torch.tensor(T)).numpy()
+    out_ours = np.asarray(temperature_encoding(T, 100, 100.0, temps))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mol_geometry primitives
+# ---------------------------------------------------------------------------
+
+
+def test_mol_geometry_primitives_golden():
+    import torch
+
+    from mdqm9.analysis.utils import mol_geometry as ref_geo
+
+    from ti_tpu.analysis import zmatrix as our_geo
+
+    rng = np.random.default_rng(10)
+    x1, x2, x3, x4 = (rng.standard_normal((50, 3)).astype(np.float32) * 2 for _ in range(4))
+    t = lambda a: torch.tensor(a)
+    np.testing.assert_allclose(
+        np.asarray(our_geo.compute_distance(x1, x2)),
+        ref_geo.compute_distance(t(x1), t(x2)).numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_geo.compute_angle(x1, x2, x3)),
+        ref_geo.compute_angle(t(x1), t(x2), t(x3)).numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_geo.compute_torsion(x1, x2, x3, x4)),
+        ref_geo.compute_torsion(t(x1), t(x2), t(x3), t(x4)).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_ic_to_xyz_golden():
+    """Atom placement AND the |det J| factor: the reference computes
+    det of an easy-to-compute matrix (mol_geometry.py:131-144); ours is
+    the analytic d^2 sin form — same absolute value."""
+    import torch
+
+    from mdqm9.analysis.utils import mol_geometry as ref_geo
+
+    from ti_tpu.analysis import zmatrix as our_geo
+
+    rng = np.random.default_rng(11)
+    p1, p2, p3 = (rng.standard_normal((30, 3)).astype(np.float32) * 2 for _ in range(3))
+    d = rng.uniform(0.8, 2.0, (30,)).astype(np.float32)
+    ang = rng.uniform(0.3, np.pi - 0.3, (30,)).astype(np.float32)
+    tor = rng.uniform(-np.pi + 0.1, np.pi - 0.1, (30,)).astype(np.float32)
+    t = lambda a: torch.tensor(a)
+    pos_ref, det_ref = ref_geo.ic_to_xyz(
+        t(p1), t(p2), t(p3), t(d), t(ang), t(tor), jacobian=True
+    )
+    pos_ours, det_ours = our_geo.ic_to_xyz(p1, p2, p3, d, ang, tor)
+    np.testing.assert_allclose(np.asarray(pos_ours), pos_ref.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(det_ours), np.abs(det_ref.numpy()), rtol=1e-4, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADW analysis weights
+# ---------------------------------------------------------------------------
+
+
+def test_adw_calculate_weights_golden():
+    from adw.analysis import reweight_gedmd as ref_rw
+
+    from ti_tpu.analysis.reweight import calculate_weights
+    from ti_tpu.analysis.weights import weights_filter_iqr
+
+    rng = np.random.default_rng(12)
+    n_step, n = 5, 400
+    initial = rng.standard_normal(n).astype(np.float64)
+    target_traj = rng.standard_normal((n_step, n))
+    dlogps = rng.standard_normal((n_step, n)) * 0.3
+    beta = 1.25
+
+    ref_E0 = ref_rw.calculate_energy(initial)
+    ref_E1 = ref_rw.calculate_energy(target_traj[-1])
+    ref_logw = 1.0 * ref_E0 - beta * ref_E1 - dlogps[-1]
+    x1_ours, w_ours = calculate_weights(initial, target_traj, dlogps, beta)
+    np.testing.assert_allclose(x1_ours, target_traj[-1])
+    np.testing.assert_allclose(w_ours, np.exp(ref_logw), rtol=1e-10)
+
+    # IQR filter parity on a spread-out weight vector (reference
+    # weights_filter_iqr uses strict bounds; ours inclusive — interior
+    # points classify identically)
+    keep_ref = ref_rw.weights_filter_iqr(w_ours)
+    keep_ours = weights_filter_iqr(w_ours)
+    np.testing.assert_array_equal(keep_ours, keep_ref)
+
+
+# ---------------------------------------------------------------------------
+# gEDMD util layer
+# ---------------------------------------------------------------------------
+
+
+def test_gedmd_filter_ev_split_by_lag_golden():
+    from gedmd import util as ref_util
+
+    from ti_tpu.gedmd.rff import filter_ev, split_by_lag
+
+    rng = np.random.default_rng(13)
+    d = rng.standard_normal(12) + 1j * rng.standard_normal(12)
+    W = rng.standard_normal((7, 12))
+    d_ref, W_ref = ref_util.filter_ev(d.copy(), W.copy(), eps1=-1.0, eps2=0.8)
+    d_ours, W_ours = filter_ev(d, W, eps1=-1.0, eps2=0.8)
+    np.testing.assert_array_equal(d_ours, d_ref)
+    np.testing.assert_array_equal(W_ours, W_ref)
+
+    X1 = rng.standard_normal((3, 50))
+    X2 = rng.standard_normal((3, 40))
+    for inp in [X1, [X1, X2]]:
+        X_ref, Y_ref = ref_util.split_by_lag(inp, 7)
+        X_ours, Y_ours = split_by_lag(inp, 7)
+        np.testing.assert_array_equal(X_ours, X_ref)
+        np.testing.assert_array_equal(Y_ours, Y_ref)
+
+
+def test_sym2numeric_golden():
+    import sympy
+
+    from gedmd.util import Sym2numeric as RefSym
+
+    from ti_tpu.gedmd.symbolic import SymbolicBasis
+
+    x, y = sympy.symbols("x y")
+    psi = [x**2 * y, sympy.sin(x) + sympy.cos(y), sympy.exp(-(x**2 + y**2) / 2), x * y + 1]
+    ref = RefSym(psi, [x, y], ndiff=2)
+    ours = SymbolicBasis(psi, [x, y], ndiff=2)
+
+    rng = np.random.default_rng(14)
+    pts = rng.uniform(-1.5, 1.5, (2, 25))
+    np.testing.assert_allclose(ours(pts), ref(pts), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ours.diff(pts), ref.diff(pts), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours.ddiff(pts), ref.ddiff(pts), rtol=1e-4, atol=1e-5)
