@@ -498,3 +498,88 @@ def test_sym2numeric_golden():
     np.testing.assert_allclose(ours(pts), ref(pts), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(ours.diff(pts), ref.diff(pts), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(ours.ddiff(pts), ref.ddiff(pts), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# atom ordering (rings — the chemistry-aware logic)
+# ---------------------------------------------------------------------------
+
+
+def _ref_sort_atoms():
+    """Import the reference sort_atoms under an rdkit stub: the module only
+    calls GetNumAtoms/GetAdjacencyMatrix/RenumberAtoms, all trivially
+    reproduced on a plain adjacency-matrix 'molecule'."""
+    import importlib
+    import types
+
+    if "rdkit" not in sys.modules:
+        class _FakeMol:
+            def __init__(self, adj):
+                self.adj = np.asarray(adj)
+
+            def GetNumAtoms(self):
+                return self.adj.shape[0]
+
+        chem = types.ModuleType("rdkit.Chem")
+        chem.GetAdjacencyMatrix = lambda mol: np.asarray(mol.adj)
+        # rdkit convention: newOrder[i] = original index placed at position i
+        chem.RenumberAtoms = lambda mol, order: _FakeMol(
+            mol.adj[np.ix_(list(order), list(order))]
+        )
+        chem._FakeMol = _FakeMol
+        rdkit = types.ModuleType("rdkit")
+        rdkit.Chem = chem
+        sys.modules["rdkit"] = rdkit
+        sys.modules["rdkit.Chem"] = chem
+    mdqm9_root = os.path.join(REF, "mdqm9")
+    if mdqm9_root not in sys.path:
+        sys.path.insert(0, mdqm9_root)
+    mod = importlib.import_module("mdqm9.analysis.utils.sort_atoms")
+    return mod, sys.modules["rdkit"].Chem._FakeMol
+
+
+def _topologies():
+    """(name, n_atoms, bond list) fixtures including the ring cases the
+    reference handles (sort_atoms.py:61-213)."""
+    # benzene-like: 6-ring, one terminal H per ring atom
+    ring6 = [(i, (i + 1) % 6) for i in range(6)] + [(i, 6 + i) for i in range(6)]
+    # fused bicyclic (naphthalene-like): two 6-rings sharing an edge + H's
+    fused = (
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+         (4, 6), (6, 7), (7, 8), (8, 9), (9, 5)]
+        + [(i, 10 + j) for j, i in enumerate([0, 1, 2, 3, 6, 7, 8, 9])]
+    )
+    # ring + branch: cyclopentane ring with an ethyl-like tail
+    ring_branch = (
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 5), (5, 6)]
+        + [(1, 7), (2, 8), (3, 9), (4, 10), (5, 11), (6, 12), (6, 13)]
+    )
+    chain = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (3, 6)]
+    return [
+        ("ring6", 12, ring6),
+        ("fused", 18, fused),
+        ("ring_branch", 14, ring_branch),
+        ("chain", 7, chain),
+    ]
+
+
+@pytest.mark.parametrize("name,n,bonds", _topologies())
+def test_sort_atoms_golden(name, n, bonds):
+    ref_mod, FakeMol = _ref_sort_atoms()
+
+    from ti_tpu.analysis.sort_atoms import (
+        adjacency_from_bonds,
+        compute_atom_order_and_references_groups,
+    )
+
+    adj = adjacency_from_bonds(n, np.asarray(bonds).T)
+    order_ref, groups_ref, refs_ref = ref_mod.compute_atom_order_and_references_groups(
+        FakeMol(adj)
+    )
+    order_ours, groups_ours, refs_ours = compute_atom_order_and_references_groups(adj)
+    assert [int(i) for i in order_ours] == [int(i) for i in order_ref]
+    assert [[int(a) for a in g] for g in groups_ours] == [
+        [int(a) for a in g] for g in groups_ref
+    ]
+    norm = lambda refs: [[None if v is None else int(v) for v in row] for row in refs]
+    assert norm(refs_ours) == norm(refs_ref)
