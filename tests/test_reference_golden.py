@@ -36,6 +36,22 @@ def _t64(x):
     return torch.tensor(np.asarray(x), dtype=torch.float64)
 
 
+@pytest.fixture(autouse=True)
+def _restore_torch_pi():
+    """The reference's mol_geometry/z_matrix modules rebind
+    torch.pi = torch.tensor(np.pi) — an f32 tensor — at import AND inside
+    functions (mdqm9/analysis/utils/mol_geometry.py:4, z_matrix.py:32),
+    silently degrading every later torch.pi use in the process (e.g. the
+    sin2 interpolant) to f32. Harmless in the reference's one-script-per-
+    process workflow; here each test gets torch.pi restored."""
+    import math
+
+    import torch
+
+    yield
+    torch.pi = math.pi
+
+
 # ---------------------------------------------------------------------------
 # interpolants
 # ---------------------------------------------------------------------------
@@ -840,3 +856,214 @@ def test_cpainn_latent_reference_model_golden(conditioning):
             )
         )
     np.testing.assert_allclose(out_ours, out_ref, rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# training losses (randomness pinned through torch.rand/randn)
+# ---------------------------------------------------------------------------
+
+
+def _import_adw_losses():
+    """adw/thermo/losses.py does `import thermo.utils` — but 'thermo' is
+    also mdqm9's package name (the reference runs the two stacks from
+    different cwds). Swap the 'thermo' namespace to adw's for the import,
+    then restore, so test order doesn't matter."""
+    import importlib
+
+    adw_root = os.path.join(REF, "adw")
+    mdqm9_root = os.path.join(REF, "mdqm9")
+    saved = {
+        k: sys.modules[k]
+        for k in list(sys.modules)
+        if k == "thermo" or k.startswith("thermo.")
+    }
+    for k in saved:
+        del sys.modules[k]
+    # adw/thermo is a NAMESPACE package (no __init__.py) while mdqm9/thermo
+    # is a regular one — a regular package anywhere on sys.path outranks an
+    # earlier namespace package, so mdqm9_root must leave the path entirely
+    saved_path = list(sys.path)
+    sys.path.insert(0, adw_root)
+    while mdqm9_root in sys.path:
+        sys.path.remove(mdqm9_root)
+    try:
+        return importlib.import_module("adw.thermo.losses")
+    finally:
+        sys.path[:] = saved_path
+        for k in list(sys.modules):
+            if k == "thermo" or k.startswith("thermo."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def test_adw_loss_golden(monkeypatch):
+    """Our ADW antithetic loss == the reference StandardVelocityLoss given
+    the same (t, z) draws and the same analytic velocity field."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from adw.thermo.interpolants import LinearInterpolant as RefInterp
+
+    RefLoss = _import_adw_losses().StandardVelocityLoss
+
+    from ti_tpu.interpolants import linear
+    from ti_tpu.losses import adw_velocity_loss
+
+    rng = np.random.default_rng(18)
+    B = 64
+    x0 = rng.standard_normal((B, 1))
+    x1 = rng.standard_normal((B, 1))
+    t = rng.uniform(0.05, 0.95, (B, 1))
+    z = rng.standard_normal((B, 1))
+    b0 = np.full((B, 1), 1.0)
+    b1 = np.full((B, 1), 1.25)
+
+    monkeypatch.setattr(
+        torch, "rand", lambda *s, **k: torch.tensor(t, dtype=torch.float64)
+    )
+    monkeypatch.setattr(
+        torch, "randn", lambda *s, **k: torch.tensor(z, dtype=torch.float64)
+    )
+
+    def b_torch(x0s, xts, ts, beta0s, beta1s):
+        return torch.sin(xts) + ts * (beta1s - beta0s) + 0.1 * xts**2
+
+    # RefInterp stores a = torch.tensor(a) in the DEFAULT dtype
+    # (adw/thermo/interpolants.py:87) — construct under f64 so the golden
+    # comparison is f64 end to end
+    old_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        ref_loss = RefLoss(RefInterp(a=0.9))
+        loss_ref = float(
+            ref_loss(
+                b_torch,
+                torch.tensor(x0, dtype=torch.float64),
+                torch.tensor(x1, dtype=torch.float64),
+                torch.tensor(b0, dtype=torch.float64),
+                torch.tensor(b1, dtype=torch.float64),
+            )
+        )
+    finally:
+        torch.set_default_dtype(old_dtype)
+
+    def apply_fn(params, xt, tt, bb0, bb1):
+        return jnp.sin(xt) + tt * (bb1 - bb0) + 0.1 * xt**2
+
+    with jax.enable_x64(True):
+        loss_ours = float(
+            adw_velocity_loss(
+                apply_fn, None, jax.random.PRNGKey(0),
+                jnp.asarray(x0), jnp.asarray(x1),
+                jnp.asarray(b0), jnp.asarray(b1),
+                linear(a=0.9, gamma="brownian"),
+                t=jnp.asarray(t), z=jnp.asarray(z),
+            )
+        )
+    assert loss_ours == pytest.approx(loss_ref, rel=1e-10)
+
+
+def test_molecular_loss_golden(monkeypatch):
+    """Our molecular antithetic loss == the full reference ambient
+    StandardVelocityLoss (batch surgery, global centering, per-atom vmap,
+    ambient/losses.py:30-133) with the SAME weight-mapped reference cPaiNN
+    and pinned (t, z) — end-to-end training-objective parity."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ref_cpainn_mod = _ref_cpainn()
+    from mdqm9.thermo.ambient.interpolants import LinearInterpolant as RefInterp
+    from mdqm9.thermo.ambient.losses import StandardVelocityLoss as RefLoss
+
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.interpolants import linear
+    from ti_tpu.losses import molecular_velocity_loss
+    from ti_tpu.models.cpainn import CPaiNN, MolGraph
+    from ti_tpu.utils.torch_import import cpainn_params_from_torch
+
+    F, layers, n, B = 16, 2, 6, 2
+    T0, T1 = 1000.0, 300.0
+    mol = make_synthetic_molecule(n_atoms=n, seed=0)
+    template = graph_template(mol, t_cond=2)
+    atom_ids = np.asarray(template.atom_ids)
+    src, dst = np.asarray(template.edges.src), np.asarray(template.edges.dst)
+    etype = np.asarray(template.edges.edge_type)
+
+    rng = np.random.default_rng(19)
+    x0 = 0.3 * rng.standard_normal((B, n, 3))
+    x1 = 0.3 * rng.standard_normal((B, n, 3))
+    t_mol = np.array([0.3, 0.7])
+    z = rng.standard_normal((B, n, 3))
+
+    old_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(20)
+        ref_model = ref_cpainn_mod.cPaiNN(
+            n_features=F, score_layers=layers, n_types=25,
+            temp_length=10, time_length=10,
+        )
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+        # pinned draws: one torch.rand(1) per molecule, one torch.randn for z
+        t_iter = iter(t_mol)
+        monkeypatch.setattr(
+            torch, "rand",
+            lambda *s, **k: torch.tensor([next(t_iter)], dtype=torch.float64),
+        )
+        monkeypatch.setattr(
+            torch, "randn",
+            lambda *s, **k: torch.tensor(z.reshape(B * n, 3), dtype=torch.float64),
+        )
+
+        # two copies of the molecule flattened PyG-style, edges offset per mol
+        batch0 = _FakeBatch(
+            x=torch.tensor(x0.reshape(B * n, 3)),
+            atoms=torch.tensor(np.tile(atom_ids, B), dtype=torch.long),
+            edge_index=torch.stack([
+                torch.tensor(np.concatenate([src + k * n for k in range(B)]), dtype=torch.long),
+                torch.tensor(np.concatenate([dst + k * n for k in range(B)]), dtype=torch.long),
+            ]),
+            edge_type=torch.tensor(np.tile(etype, B), dtype=torch.long),
+            T=torch.full((B * n,), T0),
+        )
+        batch0.to_data_list = lambda: [
+            types.SimpleNamespace(atoms=torch.zeros(n)) for _ in range(B)
+        ]
+        batch1 = _FakeBatch(x=torch.tensor(x1.reshape(B * n, 3)), T=torch.full((B * n,), T1))
+
+        ref_loss = RefLoss(RefInterp(a=1.0, gamma="sin2"), t_distr="uniform")
+        with torch.no_grad():
+            loss_ref = float(ref_loss(batch0, batch1, ref_model))
+    finally:
+        torch.set_default_dtype(old_dtype)
+
+    params = cpainn_params_from_torch(sd, score_layers=layers, conditioning="ambient")
+    model = CPaiNN(
+        n_features=F, score_layers=layers, conditioning="ambient", temp_length=10.0
+    )
+    with jax.enable_x64(True):
+        params64 = {
+            "params": jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), params["params"]
+            )
+        }
+        graph = MolGraph(
+            x=jnp.zeros((n, 3), jnp.float64), atom_ids=template.atom_ids,
+            t=jnp.asarray(0.0, jnp.float64),
+            temps=jnp.asarray([T0, T1], jnp.float64), edges=template.edges,
+        )
+        loss_ours = float(
+            molecular_velocity_loss(
+                model.apply, params64, jax.random.PRNGKey(0), graph,
+                jnp.asarray(x0), jnp.asarray(x1),
+                jnp.asarray(np.tile([[T0, T1]], (B, 1))),
+                linear(a=1.0, gamma="sin2"),
+                t=jnp.asarray(t_mol), z=jnp.asarray(z),
+            )
+        )
+    assert loss_ours == pytest.approx(loss_ref, rel=1e-10)

@@ -56,16 +56,27 @@ def adw_velocity_loss(
     beta0: Array,
     beta1: Array,
     interpolant: Interpolant,
+    t: Array | None = None,
+    z: Array | None = None,
 ) -> Array:
     """Two-sided antithetic velocity loss for the ADW MLP.
 
     x0, x1: (B, D); beta0, beta1: (B, 1). Matches reference
     StandardVelocityLoss.loss_per_sample (adw/thermo/losses.py:47-57) with
     t ~ U(0,1) per sample (adw/thermo/utils.py:15).
+
+    ``t``/``z`` pin the internal draws (shapes (B, 1) / (B, D)) — a
+    determinism hook for golden parity against the reference loss, which
+    draws via torch.rand/randn.
     """
     tkey, zkey = jax.random.split(key)
-    t = jax.random.uniform(tkey, (x0.shape[0], 1), dtype=x0.dtype)
-    xtp, xtm, z = interpolant.antithetic_xts(zkey, t, x0, x1)
+    if t is None:
+        t = jax.random.uniform(tkey, (x0.shape[0], 1), dtype=x0.dtype)
+    if z is None:
+        xtp, xtm, z = interpolant.antithetic_xts(zkey, t, x0, x1)
+    else:
+        It, g = interpolant.It(t, x0, x1), interpolant.gamma(t)
+        xtp, xtm = It + g * z, It - g * z
 
     btp = apply_fn(params, xtp, t, beta0, beta1)
     btm = apply_fn(params, xtm, t, beta0, beta1)
@@ -93,6 +104,8 @@ def molecular_velocity_loss(
     t_distr: str = "uniform",
     remat: bool = False,
     batched_apply_fn: Callable[..., Array] | None = None,
+    t: Array | None = None,
+    z: Array | None = None,
 ) -> Array:
     """Antithetic velocity loss over a batch of molecules.
 
@@ -110,13 +123,22 @@ def molecular_velocity_loss(
     (N x N) pair formulation (models/cpainn_dense.apply_dense), which is the
     sampling hot path and supports mixed-precision compute for training
     (config train_impl / train_compute_dtype).
+
+    ``t``/``z`` pin the internal draws (shapes (B,) / (B, N, 3)) — a
+    determinism hook for golden parity against the reference loss.
+    ``z`` is ignored for one-sided interpolants (there z := x0).
     """
     b, n, _ = x0.shape
     tkey, zkey = jax.random.split(key)
-    t = _sample_t(tkey, (b,), t_distr, x0.dtype)  # per molecule
+    if t is None:
+        t = _sample_t(tkey, (b,), t_distr, x0.dtype)  # per molecule
     t3 = t[:, None, None]
 
-    xtp, xtm, z = interpolant.antithetic_xts(zkey, t3, x0, x1)
+    if z is None or interpolant.one_sided:
+        xtp, xtm, z = interpolant.antithetic_xts(zkey, t3, x0, x1)
+    else:
+        It, g = interpolant.It(t3, x0, x1), interpolant.gamma(t3)
+        xtp, xtm = It + g * z, It - g * z
     # global mean-centering over ALL atoms in the batch (ambient/losses.py:55-56)
     xtp = xtp - jnp.mean(xtp.reshape(-1, 3), axis=0)
     xtm = xtm - jnp.mean(xtm.reshape(-1, 3), axis=0)
