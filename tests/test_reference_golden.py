@@ -1067,3 +1067,162 @@ def test_molecular_loss_golden(monkeypatch):
             )
         )
     assert loss_ours == pytest.approx(loss_ref, rel=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# exact divergence (the dlogp RHS) vs the reference autograd loop
+# ---------------------------------------------------------------------------
+
+
+def test_adw_divergence_golden():
+    """divergence_exact (jax.linearize + tangent basis) == the reference's
+    per-dimension autograd loop (adw/thermo/models/ode_wrapper.py:54-67)
+    on the same weight-mapped FCNet. The reference scales by 1e-2 (its
+    torchdiffeq conditioning hack, dropped here) — undone for comparison."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from adw.thermo.models.simple import FCNetMultiBeta as RefFCNet
+
+    RefODE = importlib.import_module("adw.thermo.models.ode_wrapper").ODEWrapper
+
+    from ti_tpu.models.mlp import FCNetMultiBeta
+    from ti_tpu.ops.divergence import value_and_divergence
+    from ti_tpu.utils.torch_import import fcnet_params_from_torch
+
+    hid, layers, B = 24, 3, 16
+    old_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(21)
+        ref = RefFCNet(in_size=1, out_size=1, hidden_size=hid, num_layers=layers)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((B, 1))
+        t_val = 0.42
+        b0 = np.full((B, 1), 1.0)
+        b1 = np.full((B, 1), 1.25)
+
+        xs = torch.tensor(x)
+        ts = torch.full((B, 1), t_val, dtype=torch.float64)
+        div_ref = RefODE.compute_divergence(
+            ref, torch.tensor(x), xs, ts,
+            torch.tensor(b0), torch.tensor(b1),
+        ).detach().numpy() * 1e2  # undo the reference's 1e-2 scaling
+    finally:
+        torch.set_default_dtype(old_dtype)
+
+    params = fcnet_params_from_torch(sd, num_layers=layers)
+    model = FCNetMultiBeta(hidden_size=hid, num_layers=layers)
+    with jax.enable_x64(True):
+        params64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64), params)
+
+        def per_sample(x_i, b0_i, b1_i):
+            f = lambda xv: model.apply(
+                params64, xv[None, :], jnp.full((1, 1), t_val, jnp.float64),
+                b0_i[None, :], b1_i[None, :],
+            )[0]
+            _, div = value_and_divergence(f, x_i, mode="exact")
+            return div
+
+        div_ours = np.asarray(
+            jax.vmap(per_sample)(jnp.asarray(x), jnp.asarray(b0), jnp.asarray(b1))
+        )
+    np.testing.assert_allclose(div_ours, div_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_molecular_divergence_golden():
+    """Exact molecular divergence == the reference's 3N-backward-pass loop
+    (mdqm9/thermo/ambient/models/ode_wrapper.py:60-91) on the same
+    weight-mapped cPaiNN — the strongest dlogp-convention check available
+    without torchdiffeq."""
+    import importlib
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ref_cpainn_mod = _ref_cpainn()
+    RefODE = importlib.import_module(
+        "mdqm9.thermo.ambient.models.ode_wrapper"
+    ).ODEWrapper
+
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn import CPaiNN, MolGraph
+    from ti_tpu.ops.divergence import value_and_divergence
+    from ti_tpu.utils.torch_import import cpainn_params_from_torch
+
+    F, layers, n, B = 16, 2, 6, 2
+    T0, T1, t_val = 1000.0, 300.0, 0.42
+    mol = make_synthetic_molecule(n_atoms=n, seed=0)
+    template = graph_template(mol, t_cond=2)
+    atom_ids = np.asarray(template.atom_ids)
+    src, dst = np.asarray(template.edges.src), np.asarray(template.edges.dst)
+    etype = np.asarray(template.edges.edge_type)
+
+    rng = np.random.default_rng(23)
+    x = 0.3 * rng.standard_normal((B, n, 3))
+
+    old_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(24)
+        ref_model = ref_cpainn_mod.cPaiNN(
+            n_features=F, score_layers=layers, n_types=25,
+            temp_length=10, time_length=10,
+        )
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+        batch = _FakeBatch(
+            x=torch.tensor(x.reshape(B * n, 3)),
+            atoms=torch.tensor(np.tile(atom_ids, B), dtype=torch.long),
+            edge_index=torch.stack([
+                torch.tensor(np.concatenate([src + k * n for k in range(B)]), dtype=torch.long),
+                torch.tensor(np.concatenate([dst + k * n for k in range(B)]), dtype=torch.long),
+            ]),
+            edge_type=torch.tensor(np.tile(etype, B), dtype=torch.long),
+            T0=torch.full((B * n,), T0),
+            T1=torch.full((B * n,), T1),
+            t=torch.full((B * n,), t_val),
+        )
+        # compute_divergence only uses to_data_list for the (B, n, 3) shape
+        batch.to_data_list = lambda: [
+            types.SimpleNamespace(x=batch.x[k * n : (k + 1) * n]) for k in range(B)
+        ]
+        div_ref = (
+            RefODE.compute_divergence(ref_model, batch).detach().numpy() * 1e2
+        )  # undo the reference's 1e-2 scaling (ode_wrapper.py:91)
+    finally:
+        torch.set_default_dtype(old_dtype)
+
+    params = cpainn_params_from_torch(sd, score_layers=layers, conditioning="ambient")
+    model = CPaiNN(
+        n_features=F, score_layers=layers, conditioning="ambient", temp_length=10.0
+    )
+    with jax.enable_x64(True):
+        params64 = {
+            "params": jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), params["params"]
+            )
+        }
+        temps = jnp.asarray([T0, T1], jnp.float64)
+
+        def per_mol(x_m):
+            f = lambda xv: model.apply(
+                params64,
+                MolGraph(
+                    x=xv, atom_ids=template.atom_ids,
+                    t=jnp.asarray(t_val, jnp.float64), temps=temps,
+                    edges=template.edges,
+                ),
+            )
+            _, div = value_and_divergence(f, x_m, mode="exact")
+            return div
+
+        div_ours = np.asarray(jax.vmap(per_mol)(jnp.asarray(x)))
+    np.testing.assert_allclose(div_ours, div_ref, rtol=1e-9, atol=1e-11)
