@@ -1226,3 +1226,91 @@ def test_molecular_divergence_golden():
 
         div_ours = np.asarray(jax.vmap(per_mol)(jnp.asarray(x)))
     np.testing.assert_allclose(div_ours, div_ref, rtol=1e-9, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# gEDMD cross-validation (splits pinned on both sides)
+# ---------------------------------------------------------------------------
+
+
+def _pinned_perms(m, ntest, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.permutation(m) for _ in range(ntest)]
+
+
+def _fake_split(perm_iter):
+    """sklearn.train_test_split stand-in that applies OUR permutation
+    sequence (same ordering contract: train/test per array in order)."""
+
+    def split(*arrays, train_size):
+        perm = next(perm_iter)
+        ntr = int(train_size * len(arrays[0]))
+        out = []
+        for arr in arrays:
+            out.append(arr[perm[:ntr]])
+            out.append(arr[perm[ntr:]])
+        return out
+
+    return split
+
+
+def _fake_generator(perms):
+    """A mock np.random.Generator whose permutation() replays ``perms``
+    (passes ti_tpu's isinstance(seed, np.random.Generator) check)."""
+    from unittest import mock
+
+    g = mock.MagicMock(spec=np.random.Generator)
+    g.permutation = mock.MagicMock(side_effect=list(perms))
+    return g
+
+
+def test_cv_generator_rff_golden(monkeypatch):
+    ref_rff = _ref_rff()
+
+    from ti_tpu.gedmd.rff import cv_generator_rff, sample_rff_gaussian
+
+    rng = np.random.default_rng(25)
+    X = rng.standard_normal((1, 1500))
+    Omega = sample_rff_gaussian(3, 1, 30, 0.7)
+    ntest, nev, rtrain = 3, 4, 0.75
+
+    perms = _pinned_perms(X.shape[1], ntest, seed=26)
+    monkeypatch.setattr(ref_rff, "train_test_split", _fake_split(iter(perms)))
+    d_ref, scores_ref = ref_rff.cv_generator_rff(
+        X, Omega, a=2.0, rtrain=rtrain, ntest=ntest, nev=nev, tol=1e-6
+    )
+
+    d_ours, scores_ours = cv_generator_rff(
+        X, Omega, a=2.0, rtrain=rtrain, ntest=ntest, nev=nev, tol=1e-6,
+        seed=_fake_generator(perms),
+    )
+    np.testing.assert_allclose(d_ours, np.real(d_ref), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(scores_ours, scores_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_cv_koopman_rff_golden(monkeypatch):
+    ref_rff = _ref_rff()
+
+    from ti_tpu.gedmd.rff import cv_koopman_rff, sample_rff_gaussian
+
+    rng = np.random.default_rng(27)
+    X = rng.standard_normal((1, 1200)).cumsum(axis=1) * 0.02
+    Omega = sample_rff_gaussian(4, 1, 25, 0.8)
+    lag, ntest, nev, rtrain = 5, 3, 3, 0.7
+
+    m_pairs = X.shape[1] - lag
+    perms = _pinned_perms(m_pairs, ntest, seed=28)
+    monkeypatch.setattr(ref_rff, "train_test_split", _fake_split(iter(perms)))
+    d_ref, scores_ref = ref_rff.cv_koopman_rff(
+        X, Omega, lag, rtrain=rtrain, ntest=ntest, nev=nev, tol=1e-6
+    )
+
+    d_ours, scores_ours = cv_koopman_rff(
+        X, Omega, lag, rtrain=rtrain, ntest=ntest, nev=nev, tol=1e-6,
+        seed=_fake_generator(perms),
+    )
+    np.testing.assert_allclose(
+        np.sort_complex(d_ours.ravel()), np.sort_complex(d_ref.ravel()),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(scores_ours, scores_ref, rtol=1e-6, atol=1e-8)

@@ -195,7 +195,12 @@ def whitening_transform(G: np.ndarray, tol: float, rmin: int = 0) -> Tuple[np.nd
     keep = s / s[0] >= tol
     if rmin > 0:
         keep |= np.arange(s.shape[0]) < rmin
-    inv_s = np.where(keep, 1.0 / np.maximum(s, 1e-300), 0.0)
+    # Gram eigenvalues below machine noise (eps*lam_max) can round to <= 0,
+    # i.e. s = 0 exactly — the SVD route's singulars bottom out at
+    # ~sqrt(eps)*s_max instead (gedmd/util.py:54). Clamp to that same noise
+    # floor so tol=0 (keep everything) cannot overflow L into inf/NaN.
+    floor = s[0] * np.sqrt(np.finfo(s.dtype).eps)
+    inv_s = np.where(keep, 1.0 / np.maximum(s, floor), 0.0)
     return U * inv_s[None, :], keep
 
 
