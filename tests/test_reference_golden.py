@@ -1314,3 +1314,117 @@ def test_cv_koopman_rff_golden(monkeypatch):
         rtol=1e-6, atol=1e-8,
     )
     np.testing.assert_allclose(scores_ours, scores_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_latent_loss_golden(monkeypatch):
+    """Our one-sided molecular loss == the reference latent
+    OneSidedVelocityLoss (latent/losses.py:30-121) with the weight-mapped
+    latent cPaiNN and pinned per-molecule t. The reference's dead x_t^-
+    forward (its value is never used) is skipped on our side by design."""
+    import importlib
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    _ref_cpainn()
+    ref_mod = importlib.import_module("mdqm9.thermo.latent.models.cpainn")
+    from mdqm9.thermo.latent.interpolants import (
+        OneSidedLinearInterpolant as RefInterp,
+    )
+    from mdqm9.thermo.latent.losses import OneSidedVelocityLoss as RefLoss
+
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.interpolants import one_sided_linear
+    from ti_tpu.losses import molecular_velocity_loss
+    from ti_tpu.models.cpainn import CPaiNN, MolGraph
+    from ti_tpu.utils.torch_import import cpainn_params_from_torch
+
+    F, layers, n, B = 16, 2, 6, 2
+    T = 500.0
+    temps_list = [300, 400, 500, 600, 700, 800, 900, 1000]
+    mol = make_synthetic_molecule(n_atoms=n, seed=2)
+    template = graph_template(mol, t_cond=1)
+    atom_ids = np.asarray(template.atom_ids)
+    src, dst = np.asarray(template.edges.src), np.asarray(template.edges.dst)
+    etype = np.asarray(template.edges.edge_type)
+
+    rng = np.random.default_rng(29)
+    x0 = rng.standard_normal((B, n, 3))  # noise endpoint
+    x1 = 0.3 * rng.standard_normal((B, n, 3))
+    t_mol = np.array([0.25, 0.8])
+
+    old_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(30)
+        ref_model = ref_mod.cPaiNN(
+            n_features=F, score_layers=layers, n_types=25,
+            temp_length=10, time_length=10, temperatures=temps_list,
+        )
+
+        class _AddEqF64(torch.nn.Module):
+            def forward(self, batch):
+                batch.equivariant_node_features = torch.zeros(
+                    batch.batch.shape[0], F, 3, dtype=torch.float64
+                )
+                return batch
+
+        assert type(ref_model.net[1]).__name__ == "AddEquivariantFeatures"
+        ref_model.net[1] = _AddEqF64()
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+        t_iter = iter(t_mol)
+        monkeypatch.setattr(
+            torch, "rand",
+            lambda *s, **k: torch.tensor([next(t_iter)], dtype=torch.float64),
+        )
+
+        batch = _FakeBatch(
+            x0=torch.tensor(x0.reshape(B * n, 3)),
+            x1=torch.tensor(x1.reshape(B * n, 3)),
+            atom_number=torch.tensor(np.tile(atom_ids, B), dtype=torch.long),
+            batch=torch.repeat_interleave(torch.arange(B), n),
+            edge_index=torch.stack([
+                torch.tensor(np.concatenate([src + k * n for k in range(B)]), dtype=torch.long),
+                torch.tensor(np.concatenate([dst + k * n for k in range(B)]), dtype=torch.long),
+            ]),
+            edge_type=torch.tensor(np.tile(etype, B), dtype=torch.long),
+            T=torch.full((B * n,), T),
+        )
+        batch.to_data_list = lambda: [
+            types.SimpleNamespace(atom_number=torch.zeros(n)) for _ in range(B)
+        ]
+        ref_loss = RefLoss(RefInterp(), t_distr="uniform")
+        with torch.no_grad():
+            loss_ref = float(ref_loss(batch, ref_model))
+    finally:
+        torch.set_default_dtype(old_dtype)
+
+    params = cpainn_params_from_torch(sd, score_layers=layers, conditioning="latent")
+    model = CPaiNN(
+        n_features=F, score_layers=layers, conditioning="latent",
+        temp_length=10.0, temperatures=tuple(float(v) for v in temps_list),
+    )
+    with jax.enable_x64(True):
+        params64 = {
+            "params": jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), params["params"]
+            )
+        }
+        graph = MolGraph(
+            x=jnp.zeros((n, 3), jnp.float64), atom_ids=template.atom_ids,
+            t=jnp.asarray(0.0, jnp.float64), temps=jnp.asarray([T], jnp.float64),
+            edges=template.edges,
+        )
+        loss_ours = float(
+            molecular_velocity_loss(
+                model.apply, params64, jax.random.PRNGKey(0), graph,
+                jnp.asarray(x0), jnp.asarray(x1),
+                jnp.asarray(np.full((B, 1), T)),
+                one_sided_linear(),
+                t=jnp.asarray(t_mol),
+            )
+        )
+    assert loss_ours == pytest.approx(loss_ref, rel=1e-10)
