@@ -34,7 +34,11 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-from ti_tpu.analysis.kinetics import load_torsions, torsion_generator_spectrum
+from ti_tpu.analysis.kinetics import (
+    load_torsions,
+    subsample_columns,
+    torsion_generator_spectrum,
+)
 from ti_tpu.analysis.weights import resample_with_weights
 from ti_tpu.gedmd.rff import sample_rff_gaussian
 
@@ -81,9 +85,7 @@ def main(argv=None):
                     f"{len(w)} weights vs {X.shape[1]} samples ({path})"
                 )
             X = resample_with_weights(X.T, w, seed=seed_T).T
-        if X.shape[1] > args.max_samples:
-            rng = np.random.default_rng(seed_T)
-            X = X[:, rng.choice(X.shape[1], args.max_samples, replace=False)]
+        X = subsample_columns(X, args.max_samples, seed=seed_T)
         if Omega is None:
             Omega = sample_rff_gaussian(args.seed, X.shape[0], args.p, args.sigma)
         out = torsion_generator_spectrum(

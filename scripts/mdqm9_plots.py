@@ -38,6 +38,17 @@ from ti_tpu.analysis.plots import plot_marginals, plot_tica
 from ti_tpu.analysis.weights import calc_ti_weights, weights_filter_iqr
 
 
+def frames_from_artifact(x: np.ndarray) -> np.ndarray:
+    """(frames, atoms, 3) conformations to render from a --frames npy.
+
+    Sampler artifacts are batch-major ``(n, n_save, atoms, 3)`` (drivers.py
+    incremental saves; mdqm9_results.py consumes ``s[:, -1]`` the same
+    way) — take each sample's FINAL conformation. A 3-dim array is already
+    a frame stack and passes through.
+    """
+    return x[:, -1] if x.ndim == 4 else x
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--results_dir", default=None,
@@ -88,9 +99,7 @@ def main(argv=None):
     if args.frames:
         from ti_tpu.analysis.plots import plot_molecule_frames
 
-        x = np.load(args.frames)
-        if x.ndim == 4:  # (n_save, n, atoms, 3): render the final time
-            x = x[-1]
+        x = frames_from_artifact(np.load(args.frames))
         if args.frames_sdf:
             from ti_tpu.data.sdf import parse_sdf_v2000
 

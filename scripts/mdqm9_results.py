@@ -120,6 +120,9 @@ def main():
         else float(args.scaling_factor)
     )
 
+    if args.h5 is not None and args.h5_idx is None:
+        ap.error("--h5 requires --h5_idx (molecule key inside the hdf5)")
+
     full_mode = any([args.md_ti_dir, args.bg_ti_dir, args.latent_dir,
                      args.traj_path, args.h5])
     if not full_mode:

@@ -30,6 +30,7 @@ from ti_tpu.analysis.kinetics import (
     beta_kj_per_mol,
     load_torsions,
     model_selection_scan,
+    subsample_columns,
 )
 
 
@@ -68,9 +69,7 @@ def main(argv=None):
         sigmas = args.sigmas or [5.0, 7.0, 9.0, 10.0, 11.0, 12.0, 12.5, 13.0]
         ps = args.ps or [50, 100, 300, 500, 1000]
 
-    if X.shape[1] > args.max_samples:
-        rng = np.random.default_rng(args.seed)
-        X = X[:, rng.choice(X.shape[1], args.max_samples, replace=False)]
+    X = subsample_columns(X, args.max_samples, seed=args.seed)
 
     scan = model_selection_scan(
         X, a, sigma_list=sigmas, p_list=ps, ntest=args.ntest, nev=args.nev,

@@ -42,6 +42,9 @@ def test_probe_skipped_on_opt_out(monkeypatch):
 
 def test_probe_timeout_exits_3(monkeypatch, capsys):
     monkeypatch.delenv("TI_TPU_BENCH_NO_PROBE", raising=False)
+    # retries=1 restores fail-fast; without it the default retry schedule
+    # (3 attempts, 120 s apart) would sleep ~4 real minutes in this test
+    monkeypatch.setenv("TI_TPU_BENCH_PROBE_RETRIES", "1")
 
     def stall(cmd, timeout, **k):
         raise subprocess.TimeoutExpired(cmd, timeout)
@@ -51,6 +54,39 @@ def test_probe_timeout_exits_3(monkeypatch, capsys):
         bench._probe_backend(timeout_s=1.0)
     assert exc.value.code == 3
     assert "stalled" in capsys.readouterr().err
+
+
+def test_probe_retries_then_exits_3(monkeypatch, capsys):
+    # the retry schedule runs all attempts (waiting between them) before
+    # declaring the tunnel stalled — and a mid-schedule recovery succeeds
+    monkeypatch.delenv("TI_TPU_BENCH_NO_PROBE", raising=False)
+    monkeypatch.setenv("TI_TPU_BENCH_PROBE_RETRIES", "3")
+    monkeypatch.setenv("TI_TPU_BENCH_PROBE_WAIT_S", "0")
+
+    attempts = []
+
+    def stall(cmd, timeout, **k):
+        attempts.append(1)
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", stall)
+    with pytest.raises(SystemExit) as exc:
+        bench._probe_backend(timeout_s=1.0)
+    assert exc.value.code == 3 and len(attempts) == 3
+    assert "retrying" in capsys.readouterr().err
+
+    # recovery on the second attempt: no exit
+    attempts.clear()
+
+    def flaky(cmd, timeout, **k):
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return subprocess.CompletedProcess(cmd, 0)
+
+    monkeypatch.setattr(subprocess, "run", flaky)
+    bench._probe_backend(timeout_s=1.0)
+    assert len(attempts) == 2
 
 
 def test_probe_child_failure_exits_3(monkeypatch, capsys):

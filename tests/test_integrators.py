@@ -392,3 +392,18 @@ def test_probe_crn_shares_noise_across_chains():
     ind, crn = dlogps(False), dlogps(True)
     assert np.allclose(crn, crn[0])
     assert not np.allclose(ind, ind[0])
+
+    # the segmented stage-coupled path (steps_per_dispatch, no quadrature)
+    # must honor probe_crn too — it used to split independent keys per chain
+    def dlogps_seg(crn):
+        s = make_ode_sampler(
+            f_of, solver="rk4", n_steps=4, return_dlogp=True,
+            divergence="hutchinson", num_probes=2, steps_per_dispatch=2,
+            probe_crn=crn,
+        )
+        sol = s(jnp.ones((3, 3)), jnp.ones(3), jax.random.PRNGKey(0))
+        return np.asarray(sol.dlogp[:, -1])
+
+    ind_seg, crn_seg = dlogps_seg(False), dlogps_seg(True)
+    assert np.allclose(crn_seg, crn_seg[0])
+    assert not np.allclose(ind_seg, ind_seg[0])

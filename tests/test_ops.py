@@ -108,6 +108,30 @@ def test_value_and_divergence_dispatch():
     assert float(d3) == pytest.approx(2.0, rel=1e-4)
     with pytest.raises(ValueError):
         value_and_divergence(f, x, mode="nope")
+    # hutchpp cannot shard lanes (the sketch QR needs the full query
+    # basis): asking for axis_name must fail loudly, not silently
+    # replicate the full estimator on every lane shard
+    with pytest.raises(NotImplementedError):
+        value_and_divergence(
+            f, x, mode="hutchpp", key=jax.random.PRNGKey(0), axis_name="lanes"
+        )
+
+
+def test_hutchpp_div_axis_rejected_everywhere():
+    from ti_tpu.sampling.drivers import make_ode_sampler
+    from ti_tpu.sampling.integrators import sample_ode
+
+    f_of = lambda c: (lambda x, t: -0.5 * x)
+    with pytest.raises(NotImplementedError):
+        make_ode_sampler(
+            f_of, solver="rk4", n_steps=4, return_dlogp=True,
+            divergence="hutchpp", div_axis="lanes",
+        )
+    with pytest.raises(NotImplementedError):
+        sample_ode(
+            lambda x, t: -0.5 * x, jnp.ones(4), n_steps=4, return_dlogp=True,
+            divergence="hutchpp", key=jax.random.PRNGKey(0), div_axis="lanes",
+        )
 
 
 def test_complete_graph_edges_dst_major():

@@ -252,8 +252,23 @@ def test_molecule_frames_render(tmp_path):
     plot_molecule_frames(frames, mol.atomic_numbers, mol.bond_index, out_path=str(out))
     assert out.exists() and out.stat().st_size > 1000
 
+    # sampler-artifact layout is batch-major (n, n_save, atoms, 3)
+    # (drivers.py incremental saves): the CLI must render each sample's
+    # final conformation, i.e. slice [:, -1], not a single chain's times
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mdqm9_plots_mod", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "mdqm9_plots.py"))
+    plots_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(plots_cli)
+    art = np.stack([np.full_like(frames, 99.0), frames], axis=1)  # t0 junk, t1 real
+    np.testing.assert_array_equal(plots_cli.frames_from_artifact(art), frames)
+    np.testing.assert_array_equal(plots_cli.frames_from_artifact(frames), frames)
+
     npy = tmp_path / "samples_x.npy"
-    np.save(npy, frames)
+    np.save(npy, art)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "scripts/mdqm9_plots.py", "--frames", str(npy),

@@ -22,6 +22,17 @@ from ti_tpu.gedmd.rff import (
 KB_KJ_PER_MOL_K = 0.008314462618  # Boltzmann constant in kJ/(mol K)
 
 
+def subsample_columns(X: np.ndarray, max_samples: Optional[int], seed: int = 0) -> np.ndarray:
+    """Uniformly subsample the sample axis of a (d, m) matrix to at most
+    ``max_samples`` columns (bounds the bootstrap cost). Shared by
+    load_torsions and the kinetics CLIs (scripts/mdqm9_gedmd.py subsamples
+    AFTER weight-resampling, so it cannot do it at load)."""
+    if max_samples is not None and X.shape[1] > max_samples:
+        rng = np.random.default_rng(seed)
+        X = X[:, rng.choice(X.shape[1], max_samples, replace=False)]
+    return X
+
+
 def load_torsions(path: str, max_samples: Optional[int] = None, seed: int = 0) -> np.ndarray:
     """Load a torsions .npy as (d, m): the on-disk arrays are (m, d) or
     (d, m) (the results layer saves sample-major, the reference's kinetics
@@ -30,10 +41,7 @@ def load_torsions(path: str, max_samples: Optional[int] = None, seed: int = 0) -
     scripts/mdqm9_gedmd.py and scripts/model_selection.py."""
     t = np.load(path)
     X = t.T if t.ndim == 2 and t.shape[0] > t.shape[1] else np.atleast_2d(t)
-    if max_samples is not None and X.shape[1] > max_samples:
-        rng = np.random.default_rng(seed)
-        X = X[:, rng.choice(X.shape[1], max_samples, replace=False)]
-    return X
+    return subsample_columns(X, max_samples, seed)
 
 
 def beta_kj_per_mol(T: float) -> float:

@@ -74,6 +74,11 @@ def value_and_divergence(
     if mode == "hutchpp":
         if key is None:
             raise ValueError("hutchpp mode requires a PRNG key")
+        if axis_name is not None:
+            raise NotImplementedError(
+                "axis_name lane sharding is not implemented for hutchpp "
+                "(the sketch QR needs the full query basis)"
+            )
         return divergence_hutchpp(f, x, key, num_queries=num_probes)
     raise ValueError(f"unknown divergence mode {mode!r}")
 

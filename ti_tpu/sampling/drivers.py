@@ -109,17 +109,29 @@ def make_ode_sampler(
     the experiment record; leave at None.
     """
 
+    if divergence == "hutchpp" and div_axis is not None:
+        raise NotImplementedError(
+            "div_axis lane sharding is not implemented for "
+            "divergence='hutchpp' (the sketch QR needs the full query "
+            "basis); every lane shard would redundantly compute the full "
+            "estimator. Use divergence='exact' or 'hutchinson' with "
+            "div_axis, or drop div_axis."
+        )
+
     # deadline warnings are conditioned on divergence='exact': hutchinson
     # runs one tangent lane and sits far from any dispatch deadline
     if return_dlogp and dlogp_quad_points is None and divergence == "exact":
         import sys
 
-        if solver == "dopri5":
+        if solver == "dopri5" and steps_per_dispatch is None:
+            # with steps_per_dispatch set, _segmented_dopri5_sampler bounds
+            # every dispatch via max_steps — no warning needed there
             print(
                 "[ti_tpu] WARNING: dopri5 with exact dlogp runs an UNBOUNDED "
                 "adaptive NFE count (full divergence per RHS eval) in one "
-                "device dispatch — steps_per_dispatch cannot bound it. On "
-                "remote/tunneled TPUs prefer a fixed-step solver with the "
+                "device dispatch. On remote/tunneled TPUs set "
+                "steps_per_dispatch= (the resumable segmented dopri5 bounds "
+                "each dispatch), or prefer a fixed-step solver with the "
                 "quadrature-decoupled dlogp (solver='rk4', "
                 "dlogp_quad_points=8, dlogp_quad='gauss' — the benchmarked "
                 "fast path), or divergence='hutchinson'.",
@@ -190,7 +202,7 @@ def make_ode_sampler(
         v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save,
         return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
         steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-        div_axis=div_axis,
+        div_axis=div_axis, probe_crn=probe_crn,
     )
 
 
@@ -205,6 +217,7 @@ def _segments_per_interval(per_save: int, steps_per_dispatch: int) -> int:
 def _segmented_fixed_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, return_dlogp, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
+    probe_crn=False,
 ):
     per_save = n_steps // (n_save - 1)
     q = _segments_per_interval(per_save, steps_per_dispatch)
@@ -232,7 +245,7 @@ def _segmented_fixed_sampler(
         xs_saves, lp_saves = [x], [lp]
         n_segments = (n_save - 1) * q
         for si in range(n_segments):
-            keys = jax.random.split(jax.random.fold_in(key, si), c)
+            keys = _chain_keys(jax.random.fold_in(key, si), c, probe_crn)
             t_start = jnp.asarray(t0 + si * seg_span, x.dtype)
             x, lp = seg(x, lp, conds, keys, t_start)
             if (si + 1) % q == 0:
