@@ -38,17 +38,6 @@ from ti_tpu.analysis.plots import plot_marginals, plot_tica
 from ti_tpu.analysis.weights import calc_ti_weights, weights_filter_iqr
 
 
-def frames_from_artifact(x: np.ndarray) -> np.ndarray:
-    """(frames, atoms, 3) conformations to render from a --frames npy.
-
-    Sampler artifacts are batch-major ``(n, n_save, atoms, 3)`` (drivers.py
-    incremental saves; mdqm9_results.py consumes ``s[:, -1]`` the same
-    way) — take each sample's FINAL conformation. A 3-dim array is already
-    a frame stack and passes through.
-    """
-    return x[:, -1] if x.ndim == 4 else x
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--results_dir", default=None,
@@ -78,8 +67,10 @@ def main(argv=None):
                     help="comma-separated source prefixes in --eigs_dir; "
                     "missing sources are skipped")
     ap.add_argument("--frames", default=None,
-                    help="samples .npy ((n, atoms, 3) or (n_save, n, atoms, 3),"
-                    " last save used) to render as 3-D molecule frames "
+                    help="samples .npy ((n, atoms, 3) frame stack, or a "
+                    "batch-major (n, n_save, atoms, 3) sampler artifact — "
+                    "each sample's final conformation is rendered) as 3-D "
+                    "molecule frames "
                     "(the reference's mdqm9/plots/frames/*.png assets)")
     ap.add_argument("--frames_sdf", default=None,
                     help="SDF file for element colors and bonds (--frames)")
@@ -97,7 +88,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.frames:
-        from ti_tpu.analysis.plots import plot_molecule_frames
+        from ti_tpu.analysis.plots import frames_from_artifact, plot_molecule_frames
 
         x = frames_from_artifact(np.load(args.frames))
         if args.frames_sdf:

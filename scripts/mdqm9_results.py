@@ -43,6 +43,7 @@ from ti_tpu.analysis.results import (
     generate_full_report,
     generate_report,
 )
+from ti_tpu.analysis.plots import frames_from_artifact
 from ti_tpu.data.mdqm9 import load_trajs, scaling_factor_for
 from ti_tpu.data.sdf import parse_sdf_v2000
 
@@ -225,7 +226,7 @@ def _legacy(args, adjacency):
     """Round-1 single-source mode: one samples/dlogps dir, tag-suffixed
     artifact names."""
     samples = np.load(os.path.join(args.data_dir, f"samples_{args.tag}.npy"))
-    final = samples[:, -1] if samples.ndim == 4 else samples
+    final = frames_from_artifact(samples)
     dlogps = np.load(os.path.join(args.data_dir, f"dlogps_{args.tag}.npy"))
 
     latent_z = _load(os.path.join(args.data_dir, f"latent_noises_{args.tag}.npy"))

@@ -132,6 +132,16 @@ def test_hutchpp_div_axis_rejected_everywhere():
             lambda x, t: -0.5 * x, jnp.ones(4), n_steps=4, return_dlogp=True,
             divergence="hutchpp", key=jax.random.PRNGKey(0), div_axis="lanes",
         )
+    # velocity-only rollouts never evaluate the divergence: a shared config
+    # carrying hutchpp+div_axis must still build when return_dlogp=False
+    make_ode_sampler(
+        f_of, solver="rk4", n_steps=4, return_dlogp=False,
+        divergence="hutchpp", div_axis="lanes",
+    )
+    sample_ode(
+        lambda x, t: -0.5 * x, jnp.ones(4), n_steps=4, return_dlogp=False,
+        divergence="hutchpp", div_axis="lanes",
+    )
 
 
 def test_complete_graph_edges_dst_major():

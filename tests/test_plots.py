@@ -255,17 +255,11 @@ def test_molecule_frames_render(tmp_path):
     # sampler-artifact layout is batch-major (n, n_save, atoms, 3)
     # (drivers.py incremental saves): the CLI must render each sample's
     # final conformation, i.e. slice [:, -1], not a single chain's times
-    import importlib.util
+    from ti_tpu.analysis.plots import frames_from_artifact
 
-    spec = importlib.util.spec_from_file_location(
-        "mdqm9_plots_mod", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scripts", "mdqm9_plots.py"))
-    plots_cli = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(plots_cli)
     art = np.stack([np.full_like(frames, 99.0), frames], axis=1)  # t0 junk, t1 real
-    np.testing.assert_array_equal(plots_cli.frames_from_artifact(art), frames)
-    np.testing.assert_array_equal(plots_cli.frames_from_artifact(frames), frames)
+    np.testing.assert_array_equal(frames_from_artifact(art), frames)
+    np.testing.assert_array_equal(frames_from_artifact(frames), frames)
 
     npy = tmp_path / "samples_x.npy"
     np.save(npy, art)

@@ -72,6 +72,18 @@ _ELEM_COLOR = {1: "#e8e8e8", 6: "#404040", 7: "#2e5fd0", 8: "#d02e2e", 9: "#2ed0
 _ELEM_SIZE = {1: 60, 6: 160, 7: 170, 8: 170, 9: 150}
 
 
+def frames_from_artifact(x: np.ndarray) -> np.ndarray:
+    """(frames, atoms, 3) conformations to render from a samples .npy.
+
+    Sampler artifacts are batch-major ``(n, n_save, atoms, 3)``
+    (sampling/drivers.py incremental saves; scripts/mdqm9_results.py
+    consumes ``s[:, -1]`` the same way) — take each sample's FINAL
+    conformation. A 3-dim array is already a frame stack and passes
+    through. Single home for the artifact axis convention, shared by the
+    plots and results CLIs."""
+    return x[:, -1] if x.ndim == 4 else x
+
+
 def plot_molecule_frames(
     frames: np.ndarray,
     atomic_numbers: np.ndarray,

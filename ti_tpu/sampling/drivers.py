@@ -109,7 +109,7 @@ def make_ode_sampler(
     the experiment record; leave at None.
     """
 
-    if divergence == "hutchpp" and div_axis is not None:
+    if return_dlogp and divergence == "hutchpp" and div_axis is not None:
         raise NotImplementedError(
             "div_axis lane sharding is not implemented for "
             "divergence='hutchpp' (the sketch QR needs the full query "

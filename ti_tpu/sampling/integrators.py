@@ -75,7 +75,7 @@ def _make_rhs_joint(
 
     ``div_axis`` shards the divergence's tangent lanes over that mesh axis
     (valid inside shard_map only; see ops/divergence.py)."""
-    if divergence == "hutchpp" and div_axis is not None:
+    if return_dlogp and divergence == "hutchpp" and div_axis is not None:
         raise NotImplementedError(
             "div_axis lane sharding is not implemented for hutchpp "
             "(the sketch QR needs the full query basis)"
