@@ -90,3 +90,26 @@ def test_load_trace_uncompressed_direct_path(tmp_path):
                                 "name": "op", "ts": 0.0, "dur": 5.0}]}
     p.write_text(json.dumps(payload))
     assert load_trace(str(p)) == payload
+
+
+def test_metric_logger_print_fallback(capsys):
+    """MetricLogger without wandb prints one line per log call (the
+    reference's use_wandb-else-print convention, adw/train.py:88-91)."""
+    from ti_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(use_wandb=False)
+    lg.log({"loss": 0.123456789, "epoch": 3}, step=7)
+    lg.log({"note": "plain"})
+    lg.finish()  # no wandb: must be a no-op, not an AttributeError
+    out = capsys.readouterr().out
+    assert "[step 7] loss=0.123457 epoch=3" in out
+    assert "note=plain" in out
+
+
+def test_profile_trace_noop_without_logdir():
+    from ti_tpu.utils.logging import profile_trace
+
+    with profile_trace(None):
+        pass  # must not start the jax profiler
+    with profile_trace(""):
+        pass
