@@ -71,6 +71,10 @@ def main(argv):
                          "instead of the 3N exact tangent basis)")
     ap.add_argument("--num_probes", type=int, default=8,
                     help="Hutchinson probe count (with --divergence hutchinson)")
+    ap.add_argument("--probe_mode", choices=["rademacher", "orthogonal"],
+                    default="rademacher",
+                    help="hutchinson probe distribution (orthogonal: Haar "
+                         "frame, exact at num_probes=3N; ops/divergence.py)")
     ap.add_argument("--probe_crn", action="store_true",
                     help="share the stochastic-divergence probes across chains "
                          "(common random numbers: the common component of the "
@@ -184,6 +188,7 @@ def main(argv):
             num_probes=args.num_probes, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss", probe_crn=args.probe_crn,
+            probe_mode=args.probe_mode,
         )
         bs = args.eval_batch or len(x0)
         xs, lps = [], []

@@ -52,6 +52,65 @@ def test_hutchinson_unbiased_linear():
     assert abs(float(div) - float(jnp.trace(a))) < 0.35
 
 
+def test_orthogonal_probes_exact_at_full_rank():
+    # K = dim: the Haar frame spans R^d, QQᵀ = I, and (d/K)·Σ qᵀJq = tr(J)
+    # IDENTICALLY — the orthogonal mode interpolates to the exact trace
+    a = jax.random.normal(jax.random.PRNGKey(7), (6, 6))
+    f = lambda x: a @ x
+    for seed in range(3):
+        _, div = divergence_hutchinson(
+            f, jnp.zeros(6), jax.random.PRNGKey(seed), num_probes=6,
+            probe_mode="orthogonal",
+        )
+        np.testing.assert_allclose(float(div), float(jnp.trace(a)), rtol=1e-4)
+
+
+def test_orthogonal_probes_unbiased_and_bounded():
+    # K < dim: unbiased (E[QQᵀ] = K/d · I for Haar frames); check the
+    # key-averaged estimate converges to the trace
+    a = jax.random.normal(jax.random.PRNGKey(8), (8, 8))
+    f = lambda x: a @ x
+    ests = [
+        float(divergence_hutchinson(
+            f, jnp.zeros(8), jax.random.PRNGKey(s), num_probes=4,
+            probe_mode="orthogonal",
+        )[1])
+        for s in range(400)
+    ]
+    assert abs(np.mean(ests) - float(jnp.trace(a))) < 0.6
+
+    with pytest.raises(ValueError):  # more probes than dims is meaningless
+        divergence_hutchinson(
+            f, jnp.zeros(8), jax.random.PRNGKey(0), num_probes=9,
+            probe_mode="orthogonal",
+        )
+    with pytest.raises(ValueError):
+        divergence_hutchinson(
+            f, jnp.zeros(8), jax.random.PRNGKey(0), probe_mode="nope"
+        )
+
+
+def test_orthogonal_probe_sampler_matches_exact_dlogp():
+    # at num_probes = dim the sampler's hutchinson-orthogonal dlogp equals
+    # the exact-divergence dlogp (not just statistically — identically)
+    from ti_tpu.sampling.drivers import make_ode_sampler
+
+    A = jnp.asarray(np.random.RandomState(1).randn(4, 4).astype(np.float32)) * 0.2
+    f_of = lambda c: (lambda x, t: c * (A @ x))
+
+    def run(**kw):
+        s = make_ode_sampler(
+            f_of, solver="rk4", n_steps=4, return_dlogp=True,
+            dlogp_quad_points=4, dlogp_quad="gauss", **kw,
+        )
+        sol = s(jnp.ones((2, 4)), jnp.ones(2), jax.random.PRNGKey(0))
+        return np.asarray(sol.dlogp[:, -1])
+
+    exact = run(divergence="exact")
+    orth = run(divergence="hutchinson", num_probes=4, probe_mode="orthogonal")
+    np.testing.assert_allclose(orth, exact, rtol=1e-4)
+
+
 def test_hutchpp_low_rank_exact_and_unbiased():
     from ti_tpu.ops.divergence import divergence_hutchpp
 

@@ -61,6 +61,7 @@ class ADWConfig:
     solver_type: str = "dopri5"  # or euler/heun/rk4
     divergence: str = "exact"
     num_probes: int = 8  # stochastic-divergence probe/query count (hutchinson/hutchpp)
+    probe_mode: str = "rademacher"  # or "orthogonal": Haar probe frame, exact at K=dim (ops/divergence.py)
     probe_crn: bool = False  # share probes across chains (good for ESS/marginals, biases absolute dF — BASELINE.md)
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
@@ -129,6 +130,7 @@ class MDQM9Config:
     solver_type: str = "dopri5"
     divergence: str = "exact"
     num_probes: int = 8  # stochastic-divergence probe/query count (hutchinson/hutchpp)
+    probe_mode: str = "rademacher"  # or "orthogonal": Haar probe frame, exact at K=dim (ops/divergence.py)
     probe_crn: bool = False  # share probes across chains (good for ESS/marginals, biases absolute dF — BASELINE.md)
     compute_dtype: str = "f32"  # or "bf16": mixed-precision sampling path
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch

@@ -56,12 +56,15 @@ def value_and_divergence(
     num_probes: int = 8,
     chunk: int | None = None,
     axis_name: str | None = None,
+    probe_mode: str = "rademacher",
 ) -> Tuple[Array, Array]:
     """Return (f(x), div f(x)) with the chosen estimator.
 
     ``x`` may have any shape; the divergence is over all of its elements
     (flattened). ``mode`` in {"exact", "hutchinson"}. ``axis_name`` shards
     the tangent lanes over that mesh axis (inside shard_map only).
+    ``probe_mode`` selects the hutchinson probe distribution
+    (rademacher | orthogonal; see ``divergence_hutchinson``).
     """
     if mode == "exact":
         return divergence_exact(f, x, chunk=chunk, axis_name=axis_name)
@@ -69,7 +72,8 @@ def value_and_divergence(
         if key is None:
             raise ValueError("hutchinson mode requires a PRNG key")
         return divergence_hutchinson(
-            f, x, key, num_probes=num_probes, axis_name=axis_name
+            f, x, key, num_probes=num_probes, axis_name=axis_name,
+            probe_mode=probe_mode,
         )
     if mode == "hutchpp":
         if key is None:
@@ -149,6 +153,36 @@ def _lane_trace(f_lin, basis: Array, chunk: int | None) -> Array:
     return jnp.sum(jax.lax.map(block, blocks))
 
 
+def _probe_block(key, k: int, d: int, dtype, mode: str) -> Tuple[Array, Array]:
+    """(k, d) probe rows Z and per-row weights w with E[Zᵀ diag(w) Z] = I.
+
+    ``rademacher``: iid ±1 rows, w = 1/k (the classic Hutchinson draw).
+    ``orthogonal``: k ≤ d Haar-orthonormal rows (QR of a Gaussian, signs
+    fixed so the distribution is exactly Haar), w = d/k. Unbiased for any
+    J because E[QᵀQ] = (k/d)·I for Haar frames, and EXACT at k = d (then
+    QᵀQ = I, so Σ d/k·q_iᵀJq_i = tr(J) identically): the estimator
+    variance carries a without-replacement factor ~(d−k)/(d−1) that plain
+    iid probes lack, so it interpolates smoothly to the exact trace as the
+    probe budget approaches the dimension.
+    """
+    if mode == "rademacher":
+        z = jax.random.rademacher(key, (k, d), dtype=dtype)
+        return z, jnp.full((k,), 1.0 / k, dtype)
+    if mode == "orthogonal":
+        if k > d:
+            raise ValueError(
+                f"orthogonal probe_mode needs num_probes <= dim ({k} > {d}); "
+                "use num_probes=dim (exact) or probe_mode='rademacher'"
+            )
+        g = jax.random.normal(key, (d, k), dtype=dtype)
+        q, r = jnp.linalg.qr(g)
+        # sign-fix the QR so columns are Haar-distributed (otherwise the
+        # factorization's sign convention biases the frame)
+        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        return q.T, jnp.full((k,), d / k, dtype)
+    raise ValueError(f"unknown probe_mode {mode!r} (rademacher | orthogonal)")
+
+
 def divergence_hutchinson(
     f: VelocityFn,
     x: Array,
@@ -156,15 +190,22 @@ def divergence_hutchinson(
     *,
     num_probes: int = 8,
     axis_name: str | None = None,
+    probe_mode: str = "rademacher",
 ) -> Tuple[Array, Array]:
-    """Hutchinson estimator: div f ≈ mean_k z_kᵀ J z_k, z Rademacher.
+    """Hutchinson estimator: div f ≈ Σ_k w_k z_kᵀ J z_k.
+
+    ``probe_mode`` selects the probe distribution (see ``_probe_block``):
+    iid Rademacher (default, the classic estimator) or a Haar-orthonormal
+    probe frame scaled by d/K — unbiased for any J and exact at K = dim,
+    with a without-replacement variance factor ~(dim−K)/(dim−1).
 
     ``axis_name`` (inside ``jax.shard_map`` only) shards the probes over
     that mesh axis: each device draws ceil(K/n) probes from
     ``fold_in(key, axis_index)`` and the mean is completed with one scalar
-    ``psum`` over n·ceil(K/n) total probes. Still unbiased (probes are iid
-    across devices), but the draws differ from the unsharded estimator —
-    no bitwise parity across lane-mesh shapes.
+    ``psum`` over n·ceil(K/n) total probes. Still unbiased (probe blocks
+    are iid across devices; orthogonal mode orthogonalizes per shard), but
+    the draws differ from the unsharded estimator — no bitwise parity
+    across lane-mesh shapes.
     """
     shape = jnp.shape(x)
     d = int(jnp.size(x))
@@ -179,13 +220,13 @@ def divergence_hutchinson(
         n = jax.lax.axis_size(axis_name)
         per = -(-num_probes // n)
         k_local = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        z = jax.random.rademacher(k_local, (per, d), dtype=flat.dtype)
-        part = jnp.sum(jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z))
-        return jnp.reshape(y, shape), jax.lax.psum(part, axis_name) / (per * n)
+        z, w = _probe_block(k_local, per, d, flat.dtype, probe_mode)
+        part = jnp.sum(w * jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z))
+        return jnp.reshape(y, shape), jax.lax.psum(part, axis_name) / n
 
-    z = jax.random.rademacher(key, (num_probes, d), dtype=flat.dtype)
+    z, w = _probe_block(key, num_probes, d, flat.dtype, probe_mode)
     est = jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z)
-    return jnp.reshape(y, shape), jnp.mean(est)
+    return jnp.reshape(y, shape), jnp.sum(w * est)
 
 
 def divergence_hutchpp(

@@ -73,6 +73,7 @@ def make_ode_sampler(
     num_probes: int = 8,
     div_axis: Optional[str] = None,
     probe_crn: bool = False,
+    probe_mode: str = "rademacher",
     node_batch: Optional[int] = None,
 ):
     """Build a batched transport sampler.
@@ -158,14 +159,16 @@ def make_ode_sampler(
                 n_save=n_save, gl_points=dlogp_quad_points,
                 divergence=divergence, div_chunk=div_chunk,
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-                div_axis=div_axis, probe_crn=probe_crn, node_batch=node_batch,
+                div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
+                node_batch=node_batch,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
             n_save=n_save, div_points=dlogp_quad_points,
             divergence=divergence, div_chunk=div_chunk,
             steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-            div_axis=div_axis, probe_crn=probe_crn, node_batch=node_batch,
+            div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
+            node_batch=node_batch,
         )
 
     if steps_per_dispatch is None:
@@ -178,11 +181,13 @@ def make_ode_sampler(
                     max_steps=max_steps, return_dlogp=return_dlogp,
                     divergence=divergence, key=key, div_chunk=div_chunk,
                     num_probes=num_probes, div_axis=div_axis,
+                    probe_mode=probe_mode,
                 )
             return sample_ode(
                 v, x0, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save, method=solver,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
                 div_chunk=div_chunk, num_probes=num_probes, div_axis=div_axis,
+                probe_mode=probe_mode,
             )
 
         @jax.jit
@@ -202,7 +207,7 @@ def make_ode_sampler(
         v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps, n_save=n_save,
         return_dlogp=return_dlogp, divergence=divergence, div_chunk=div_chunk,
         steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
-        div_axis=div_axis, probe_crn=probe_crn,
+        div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
     )
 
 
@@ -217,7 +222,7 @@ def _segments_per_interval(per_save: int, steps_per_dispatch: int) -> int:
 def _segmented_fixed_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, return_dlogp, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
-    probe_crn=False,
+    probe_crn=False, probe_mode="rademacher",
 ):
     per_save = n_steps // (n_save - 1)
     q = _segments_per_interval(per_save, steps_per_dispatch)
@@ -233,6 +238,7 @@ def _segmented_fixed_sampler(
                 n_steps=sub_steps, n_save=2, method=solver, dlogp0=lp0,
                 return_dlogp=return_dlogp, divergence=divergence, key=key,
                 div_chunk=div_chunk, num_probes=num_probes, div_axis=div_axis,
+                probe_mode=probe_mode,
             )
             return sol.xs[-1], sol.dlogp[-1]
 
@@ -262,7 +268,7 @@ def _segmented_fixed_sampler(
 def _quad_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, div_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
-    probe_crn=False, node_batch=None,
+    probe_crn=False, probe_mode="rademacher", node_batch=None,
 ):
     """Driver-level quadrature-decoupled dlogp: velocity-only transport
     saving the div grid (optionally segmented into bounded dispatches),
@@ -291,7 +297,7 @@ def _quad_dlogp_sampler(
                     div_points=div_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
                     num_probes=num_probes, div_axis=div_axis,
-                    node_batch=node_batch,
+                    probe_mode=probe_mode, node_batch=node_batch,
                 )
             )(x0s, conds, keys)
 
@@ -324,7 +330,7 @@ def _quad_dlogp_sampler(
                     )[1]
                 return divergence_hutchinson(
                     f, x, jax.random.fold_in(k, i), num_probes=num_probes,
-                    axis_name=div_axis,
+                    axis_name=div_axis, probe_mode=probe_mode,
                 )[1]
 
             return jax.lax.map(
@@ -364,7 +370,7 @@ def _quad_dlogp_sampler(
 def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
-    probe_crn=False, node_batch=None,
+    probe_crn=False, probe_mode="rademacher", node_batch=None,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -395,7 +401,7 @@ def _gauss_dlogp_sampler(
                     gl_points=gl_points, n_save=n_save, method=solver,
                     divergence=divergence, key=k, div_chunk=div_chunk,
                     num_probes=num_probes, div_axis=div_axis,
-                    node_batch=node_batch,
+                    probe_mode=probe_mode, node_batch=node_batch,
                 )
             )(x0s, conds, keys)
 
@@ -447,7 +453,7 @@ def _gauss_dlogp_sampler(
                     )[1]
                 return divergence_hutchinson(
                     f, x, jax.random.fold_in(k, i), num_probes=num_probes,
-                    axis_name=div_axis,
+                    axis_name=div_axis, probe_mode=probe_mode,
                 )[1]
 
             return jax.lax.map(
@@ -590,6 +596,7 @@ def sample_adw(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
@@ -702,6 +709,7 @@ def sample_ambient(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
@@ -788,6 +796,7 @@ def sample_latent(
         dlogp_quad_points=getattr(cfg, "dlogp_quad_points", 0) or None,
         dlogp_quad=getattr(cfg, "dlogp_quad", "simpson"),
         num_probes=getattr(cfg, "num_probes", 8),
+        probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 

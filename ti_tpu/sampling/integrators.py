@@ -70,6 +70,7 @@ def _make_rhs_joint(
     num_probes: int,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
 ):
     """RHS on the flattened joint state y = [x.ravel(), dlogp].
 
@@ -96,7 +97,8 @@ def _make_rhs_joint(
         else:
             k = jax.random.fold_in(key, eval_idx)
             vel, div = divergence_hutchinson(
-                f, x, k, num_probes=num_probes, axis_name=div_axis
+                f, x, k, num_probes=num_probes, axis_name=div_axis,
+                probe_mode=probe_mode,
             )
         return jnp.concatenate([jnp.reshape(vel, (d,)), -div[None]])
 
@@ -150,6 +152,7 @@ def sample_ode(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
     dlogp0: Optional[Array] = None,
 ) -> ODESolution:
     """Fixed-step probability-flow ODE with fused dlogp carry.
@@ -170,7 +173,8 @@ def sample_ode(
     shape = jnp.shape(x0)
     d = int(jnp.size(x0))
     rhs = _make_rhs_joint(
-        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk, div_axis
+        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk,
+        div_axis, probe_mode=probe_mode,
     )
     cc, aa, bb = _tableau(method)
     c = jnp.asarray(cc, x0.dtype)
@@ -236,6 +240,7 @@ def dopri5_stepper(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
     first_dt: float = 0.01,
 ):
     """Resumable adaptive RK45: returns (init, advance).
@@ -250,7 +255,8 @@ def dopri5_stepper(
     """
     d = int(np.prod(shape)) if shape else 1
     rhs0 = _make_rhs_joint(
-        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk, div_axis
+        v_fn, shape, return_dlogp, divergence, key, num_probes, div_chunk,
+        div_axis, probe_mode=probe_mode,
     )
     direction = 1.0 if t1 >= t0 else -1.0  # internal time tau = dir*(t - t0)
 
@@ -349,6 +355,7 @@ def sample_ode_dopri5(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
     first_dt: float = 0.01,
 ) -> ODESolution:
     """Adaptive RK45 with PI step control, bounded by ``max_steps`` steps per
@@ -369,7 +376,7 @@ def sample_ode_dopri5(
         v_fn, shape, dtype, t0=t0, t1=t1, atol=atol, rtol=rtol,
         max_steps=max_steps, return_dlogp=return_dlogp, divergence=divergence,
         key=key, num_probes=num_probes, div_chunk=div_chunk, div_axis=div_axis,
-        first_dt=first_dt,
+        probe_mode=probe_mode, first_dt=first_dt,
     )
     save_ts = jnp.linspace(0.0, abs(t1 - t0), n_save)
     carry = init(x0)
@@ -471,6 +478,7 @@ def sample_ode_gauss_dlogp(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
     node_batch: Optional[int] = None,
 ) -> ODESolution:
     """Transport with GAUSS-LEGENDRE-decoupled dlogp.
@@ -490,7 +498,8 @@ def sample_ode_gauss_dlogp(
     xs_all = sample_ode_times(v_fn, x0, ts, method=method)
 
     rhs = _make_rhs_joint(
-        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk, div_axis
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk,
+        div_axis, probe_mode=probe_mode,
     )
     d = int(jnp.size(x0))
     flat_idx = node_idx.reshape(-1)
@@ -576,6 +585,7 @@ def sample_ode_quad_dlogp(
     num_probes: int = 8,
     div_chunk: Optional[int] = None,
     div_axis: Optional[str] = None,
+    probe_mode: str = "rademacher",
     node_batch: Optional[int] = None,
 ) -> ODESolution:
     """Transport with QUADRATURE-DECOUPLED dlogp — the fast product path.
@@ -620,7 +630,8 @@ def sample_ode_quad_dlogp(
 
     # phase 2: batched divergence at the grid nodes
     rhs = _make_rhs_joint(
-        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk, div_axis
+        v_fn, jnp.shape(x0), True, divergence, key, num_probes, div_chunk,
+        div_axis, probe_mode=probe_mode,
     )
     d = int(jnp.size(x0))
 
