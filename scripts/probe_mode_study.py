@@ -39,6 +39,92 @@ import jax
 import jax.numpy as jnp
 
 
+def _oracle_study(args):
+    """End-to-end ESS/dF comparison on a TRAINED harmonic-well oracle
+    (the tests/test_mdqm9_physics.py fixture, CPU-sized): train the
+    transport field, then sample with GL-quadrature hutchinson dlogp per
+    (probe_mode, K) and report TFEP dF error vs the closed form and the
+    Kish ESS — the product metric the probe noise actually degrades."""
+    from ti_tpu.analysis.free_energy import calc_phis_tfep, calc_tfep_dF
+    from ti_tpu.analysis.weights import calc_ess
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.data.mdqm9 import (
+        MDQM9AmbientDataset,
+        make_synthetic_frames,
+        make_synthetic_molecule,
+    )
+    from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+    from ti_tpu.train.ambient import train_ambient
+
+    T0, T1, jitter = 1000, 300, 0.4
+    sig = lambda T: jitter * np.sqrt(T / 300.0)
+    n = args.atoms
+    d = 3 * n
+    mol = make_synthetic_molecule(n_atoms=n, seed=0)
+    p_eq = (mol.positions - mol.positions.mean(axis=0, keepdims=True)).astype(np.float32)
+
+    def energy(x, T):
+        xc = x - x.mean(axis=-2, keepdims=True)
+        return np.sum((xc - p_eq) ** 2, axis=(-2, -1)) / (2.0 * sig(T) ** 2)
+
+    frames = {T: make_synthetic_frames(mol, 1024, T, seed=T, jitter=jitter)
+              for T in (T0, T1)}
+    stack = np.concatenate([frames[T0], frames[T1]])
+    temps = np.concatenate([np.full(1024, float(T0)), np.full(1024, float(T1))])
+    cfg = MDQM9Config(
+        n_features=args.features, score_layers=args.layers, batch_size=64,
+        n_epochs=args.train_epochs, learning_rate=2e-3, gamma="brownian",
+        a=0.1, temp_length=8.0, scale_trajs=False, T0s=[T0, T1], T1s=[T0, T1],
+        model_save_path="/tmp/probe_mode_oracle/models",
+        data_save_path="/tmp/probe_mode_oracle/out",
+    )
+    print(f"training the harmonic oracle: {n} atoms (d={d}), "
+          f"F={args.features} x {args.layers}, {args.train_epochs} epochs",
+          file=sys.stderr, flush=True)
+    res = train_ambient(
+        cfg,
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+    )
+    v_of = molecular_v_fn_of(res["model"], res["params"], res["template"])
+
+    n_chains = args.chains
+    x0 = make_synthetic_frames(mol, n_chains, T0, seed=999, jitter=jitter)
+    tt = jnp.tile(jnp.array([float(T0), float(T1)]), (n_chains, 1))
+    dF_exact = -3 * (n - 1) * np.log(sig(T1) / sig(T0))
+    key = jax.random.PRNGKey(args.seed)
+
+    def run(divergence, k=None, mode="rademacher"):
+        sampler = make_ode_sampler(
+            v_of, solver="rk4", n_steps=16, n_save=2, return_dlogp=True,
+            divergence=divergence, num_probes=k or 8, probe_mode=mode,
+            dlogp_quad_points=8, dlogp_quad="gauss",
+        )
+        sol = sampler(jnp.asarray(x0), tt, key)
+        x1 = np.asarray(sol.xs[:, -1])
+        dlogp = np.asarray(sol.dlogp[:, -1])
+        phis, _ = calc_phis_tfep(energy(x0, T0), energy(x1, T1), dlogp)
+        log_w = -phis
+        w = np.exp(log_w - log_w.max())
+        return (float(abs(calc_tfep_dF(phis) - dF_exact)),
+                100.0 * float(calc_ess(w)) / n_chains,
+                float(np.std(dlogp)))
+
+    err, ess, _ = run("exact")
+    print(f"exact       : dF err {err:7.4f}  ESS {ess:5.1f}%  (dF_exact={dF_exact:.3f})",
+          flush=True)
+    rows = [{"mode": "exact", "K": d, "dF_err": err, "ess_pct": ess}]
+    for k in [int(s) for s in args.probes.split(",")]:
+        for mode in ("rademacher", "orthogonal"):
+            if mode == "orthogonal" and k > d:
+                continue
+            err, ess, sd = run("hutchinson", k, mode)
+            rows.append({"mode": mode, "K": k, "dF_err": err, "ess_pct": ess})
+            print(f"{mode:11s} K={k:3d}: dF err {err:7.4f}  ESS {ess:5.1f}%  "
+                  f"dlogp std {sd:6.3f}", flush=True)
+    print("rows: " + json.dumps(rows), flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--atoms", type=int, default=19)
@@ -53,8 +139,18 @@ def main(argv=None):
                     help="comma-separated probe budgets K")
     ap.add_argument("--nodes", type=int, default=4,
                     help="trajectory states (quadrature-node stand-ins)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="train the CPU-sized harmonic oracle and compare "
+                    "end-to-end TFEP dF/ESS per probe mode instead of raw "
+                    "estimator rms")
+    ap.add_argument("--train_epochs", type=int, default=60)
+    ap.add_argument("--chains", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+
+    if args.oracle:
+        _oracle_study(args)
+        return
 
     from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
     from ti_tpu.models.cpainn import CPaiNN
