@@ -56,10 +56,16 @@ def main():
             )
         return f
 
+    # Pallas kernels only lower on TPU — skip the fused rows elsewhere so
+    # the stochastic/exact comparisons still run on a CPU dev box
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+
     t_fwd = timed(fwd(False), x, reps=32)
     print(f"primal fwd    batch={chains}: {t_fwd*1e3:8.2f} ms  ({t_fwd/chains*1e6:7.1f} us/chain)")
-    t_fwd_fused = timed(fwd(True), x, reps=16)
-    print(f"primal fused  batch={chains}: {t_fwd_fused*1e3:8.2f} ms  ({t_fwd/t_fwd_fused:.2f}x vs unfused)")
+    t_fwd_fused = t_fwd
+    if on_tpu:
+        t_fwd_fused = timed(fwd(True), x, reps=16)
+        print(f"primal fused  batch={chains}: {t_fwd_fused*1e3:8.2f} ms  ({t_fwd/t_fwd_fused:.2f}x vs unfused)")
 
     def div(impl, chunk, compute_dtype=None):
         v_fn_of = molecular_v_fn_of(
@@ -83,8 +89,39 @@ def main():
     print(f"div bf16      batch={chains}: {t_div_bf*1e3:8.2f} ms  ({t_div_nc/t_div_bf:.2f}x vs f32; headline path)")
     t_div_agg = timed(div("dense", None, "bf16_agg"), x, reps=4)
     print(f"div bf16agg   batch={chains}: {t_div_agg*1e3:8.2f} ms  ({t_div_bf/t_div_agg:.2f}x vs bf16; bf16 dot outputs)")
-    t_div_f = timed(div("dense_fused", None), x, reps=4)
-    print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
+    t_div_f = t_div_nc
+    if on_tpu:
+        t_div_f = timed(div("dense_fused", None), x, reps=4)
+        print(f"div fused     batch={chains}: {t_div_f*1e3:8.2f} ms  ({t_div_nc/t_div_f:.2f}x vs nochunk)")
+
+    # stochastic nodes at the qualified probe counts: rademacher vs the
+    # orthogonal Haar frame (same lane count + one (d, K) QR — measures
+    # whether the QR costs anything per node on-chip; ROADMAP open lever)
+    from ti_tpu.ops.divergence import divergence_hutchinson
+
+    def div_hutch(k, mode, compute_dtype=None):
+        v_fn_of = molecular_v_fn_of(
+            model, params, template, impl="dense", compute_dtype=compute_dtype
+        )
+
+        def f(xx, i):
+            def one(xc, tempc):
+                g = v_fn_of(tempc)
+                return divergence_hutchinson(
+                    lambda y: g(y, 0.5), xc + 1e-3 * i,
+                    jax.random.fold_in(key, jnp.int32(i)), num_probes=k,
+                    probe_mode=mode,
+                )[1]
+
+            return jax.vmap(one)(xx, temps)
+
+        return f
+
+    for k in (16, 32):
+        t_r = timed(div_hutch(k, "rademacher"), x, reps=4)
+        t_o = timed(div_hutch(k, "orthogonal"), x, reps=4)
+        print(f"div hutch-{k:2d}  batch={chains}: rademacher {t_r*1e3:8.2f} ms | "
+              f"orthogonal {t_o*1e3:8.2f} ms ({t_r/max(t_o,1e-9):.2f}x)")
 
     from ti_tpu.ops.dense_divergence import dense_divergence
 

@@ -308,3 +308,21 @@ def test_mdqm9_results_full_report_cli(tmp_path):
     )
     assert r.returncode != 0
     assert "length mismatch" in r.stderr
+
+
+@pytest.mark.slow
+def test_probe_mode_study_cli(tmp_path):
+    """The probe-distribution study runs end to end and reports the
+    orthogonal frame's K=dim exactness (rms ~ 0) alongside the iid
+    Rademacher rows (ROADMAP open-lever harness)."""
+    import json as _json
+
+    r = run([
+        "scripts/probe_mode_study.py", "--atoms", "3", "--features", "8",
+        "--layers", "1", "--keys", "3", "--probes", "3,9", "--nodes", "1",
+    ])
+    line = [l for l in r.stdout.splitlines() if l.startswith("rows: ")][-1]
+    rows = {(x["mode"], x["K"]): x for x in _json.loads(line[len("rows: "):])}
+    assert rows[("orthogonal", 9)]["rms_err"] < 1e-4  # exact at K = d
+    assert rows[("rademacher", 9)]["rms_err"] > 1e-3  # iid draws are not
+    assert ("orthogonal", 3) in rows and ("rademacher", 3) in rows
