@@ -94,11 +94,11 @@ def _oracle_study(args):
     dF_exact = -3 * (n - 1) * np.log(sig(T1) / sig(T0))
     key = jax.random.PRNGKey(args.seed)
 
-    def run(divergence, k=None, mode="rademacher"):
+    def run(divergence, k=None, mode="rademacher", crn=False):
         sampler = make_ode_sampler(
             v_of, solver="rk4", n_steps=16, n_save=2, return_dlogp=True,
             divergence=divergence, num_probes=k or 8, probe_mode=mode,
-            dlogp_quad_points=8, dlogp_quad="gauss",
+            probe_crn=crn, dlogp_quad_points=8, dlogp_quad="gauss",
         )
         sol = sampler(jnp.asarray(x0), tt, key)
         x1 = np.asarray(sol.xs[:, -1])
@@ -118,10 +118,12 @@ def _oracle_study(args):
         for mode in ("rademacher", "orthogonal"):
             if mode == "orthogonal" and k > d:
                 continue
-            err, ess, sd = run("hutchinson", k, mode)
-            rows.append({"mode": mode, "K": k, "dF_err": err, "ess_pct": ess})
-            print(f"{mode:11s} K={k:3d}: dF err {err:7.4f}  ESS {ess:5.1f}%  "
-                  f"dlogp std {sd:6.3f}", flush=True)
+            for crn in ((False, True) if args.crn else (False,)):
+                err, ess, sd = run("hutchinson", k, mode, crn)
+                tag = f"{mode}{'+crn' if crn else ''}"
+                rows.append({"mode": tag, "K": k, "dF_err": err, "ess_pct": ess})
+                print(f"{tag:15s} K={k:3d}: dF err {err:7.4f}  ESS {ess:5.1f}%  "
+                      f"dlogp std {sd:6.3f}", flush=True)
     print("rows: " + json.dumps(rows), flush=True)
 
 
@@ -145,6 +147,9 @@ def main(argv=None):
                     "estimator rms")
     ap.add_argument("--train_epochs", type=int, default=60)
     ap.add_argument("--chains", type=int, default=512)
+    ap.add_argument("--crn", action="store_true",
+                    help="(--oracle) also report probe_crn=True rows — the "
+                    "common-random-numbers interplay per probe mode")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 

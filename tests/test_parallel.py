@@ -400,6 +400,20 @@ def test_lane_sharded_hutchinson_unbiased(mesh):
     )(x)
     assert abs(float(est) - float(div_ref)) < 0.15 * max(1.0, abs(float(div_ref)))
 
+    # orthogonal probe frames, orthogonalized PER SHARD (the sketch is
+    # local): 8 devices x 6 probes of d=6 means every shard's frame spans
+    # R^6 — each shard's estimate is exact, so the psum mean is too
+    body_o = lambda xx: divergence_hutchinson(
+        _toy_field, xx, jax.random.PRNGKey(7), num_probes=48,
+        axis_name="data", probe_mode="orthogonal",
+    )
+    _, est_o = jax.jit(
+        jax.shard_map(
+            body_o, mesh=mesh, in_specs=P(), out_specs=(P(), P()), check_vma=False
+        )
+    )(x)
+    np.testing.assert_allclose(float(est_o), float(div_ref), rtol=1e-4)
+
 
 def test_lane_parallel_sampler_matches(mesh):
     """The headline gauss-dlogp sampler with div_axis='lanes' over an

@@ -174,11 +174,13 @@ def _probe_block(key, k: int, d: int, dtype, mode: str) -> Tuple[Array, Array]:
                 f"orthogonal probe_mode needs num_probes <= dim ({k} > {d}); "
                 "use num_probes=dim (exact) or probe_mode='rademacher'"
             )
-        g = jax.random.normal(key, (d, k), dtype=dtype)
+        # QR in f32 regardless of the compute dtype (low-precision QR is
+        # unsupported/ill-conditioned on some backends); probes cast back
+        g = jax.random.normal(key, (d, k), dtype=jnp.float32)
         q, r = jnp.linalg.qr(g)
         # sign-fix the QR so columns are Haar-distributed (otherwise the
         # factorization's sign convention biases the frame)
-        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        q = (q * jnp.sign(jnp.diagonal(r))[None, :]).astype(dtype)
         return q.T, jnp.full((k,), d / k, dtype)
     raise ValueError(f"unknown probe_mode {mode!r} (rademacher | orthogonal)")
 

@@ -24,6 +24,13 @@ therefore stored under a per-host subdirectory keyed by the CPU
 model+flags, so a host change is a clean cold miss instead of a
 mismatched-AOT load. Same-host reuse (the measured 5m41s -> 2m08s repeat
 ``bench.py --quick``) is unaffected.
+
+Known benign noise: same-host CPU loads can still log the mismatch error
+naming ONLY ``+prefer-no-scatter``/``+prefer-no-gather`` — XLA compile-
+tuning pseudo-features that appear in every compile-feature string but
+never in the loader's host-feature detection, so the set comparison
+"fails" without any ISA risk. A REAL cross-host mismatch (the SIGILL
+case the fingerprint prevents) lists actual ISA features (avx512*, amx*).
 """
 
 from __future__ import annotations
