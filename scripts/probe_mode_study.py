@@ -154,6 +154,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.oracle:
+        if args.params:
+            ap.error(
+                "--oracle trains its own closed-form harmonic field and "
+                "cannot evaluate an external checkpoint; for the trained "
+                "production oracle use validate_mdqm9_physics.py --reuse "
+                "--probe_mode ... (end-to-end) or this script's --params "
+                "mode (raw estimator rms)."
+            )
         _oracle_study(args)
         return
 
@@ -163,21 +171,65 @@ def main(argv=None):
     from ti_tpu.sampling.drivers import molecular_v_fn_of
     from ti_tpu.sampling.integrators import sample_ode
 
-    mol = make_synthetic_molecule(n_atoms=args.atoms, seed=0)
-    template = graph_template(mol, t_cond=2)
-    model = CPaiNN(n_features=args.features, score_layers=args.layers,
-                   temp_length=100.0, conditioning="ambient")
+    atoms, features, layers, temp_length = (
+        args.atoms, args.features, args.layers, 100.0
+    )
+    ckpt = None
     if args.params:
         from ti_tpu.train import common as train_common
 
-        like = {"params": model.init(jax.random.PRNGKey(0), template)}
-        ckpt = train_common.load_checkpoint(args.params)
+        try:
+            # same-backend restore: read the recorded architecture (the
+            # validate_mdqm9_physics 'arch' dict) and honor it over the CLI
+            # flags — temp_length changes no param shapes, so a silent
+            # mismatch would garble the temperature conditioning
+            ckpt = train_common.load_checkpoint(args.params)
+        except Exception as e:
+            # cross-backend restore (e.g. a chip-saved oracle opened under
+            # JAX_PLATFORMS=cpu) needs an item template for shardings — the
+            # CLI flags must then describe the checkpoint; the arch check
+            # below catches a lie
+            print(f"[probe_mode_study] bare restore failed ({type(e).__name__}); "
+                  "retrying with a template from the CLI flags",
+                  file=sys.stderr, flush=True)
+            mol_t = make_synthetic_molecule(n_atoms=atoms, seed=0)
+            tmpl = graph_template(mol_t, t_cond=2)
+            model_t = CPaiNN(n_features=features, score_layers=layers,
+                             temp_length=temp_length, conditioning="ambient")
+            like = {
+                "params": model_t.init(jax.random.PRNGKey(0), tmpl),
+                "arch": {"atoms": 0, "features": 0, "layers": 0,
+                         "temp_length": 0.0},
+            }
+            try:
+                ckpt = train_common.load_checkpoint(args.params, like=like)
+            except Exception:
+                ckpt = train_common.load_checkpoint(
+                    args.params, like={"params": like["params"]}
+                )
+        arch = ckpt.get("arch") if isinstance(ckpt, dict) else None
+        if arch is not None:
+            atoms = int(np.asarray(arch["atoms"]))
+            features = int(np.asarray(arch["features"]))
+            layers = int(np.asarray(arch["layers"]))
+            temp_length = float(np.asarray(arch["temp_length"]))
+            if (atoms, features, layers) != (args.atoms, args.features, args.layers):
+                print(f"[probe_mode_study] using the checkpoint's arch "
+                      f"(atoms={atoms}, F={features}, layers={layers}, "
+                      f"temp_length={temp_length:g}) over the CLI flags",
+                      file=sys.stderr, flush=True)
+
+    mol = make_synthetic_molecule(n_atoms=atoms, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=features, score_layers=layers,
+                   temp_length=temp_length, conditioning="ambient")
+    if ckpt is not None:
         params = ckpt["params"] if isinstance(ckpt, dict) and "params" in ckpt else ckpt
-        del like
         field = "trained"
     else:
         params = model.init(jax.random.PRNGKey(0), template)
         field = "random-init"
+    args.atoms = atoms  # downstream shapes follow the resolved arch
 
     v_of = molecular_v_fn_of(model, params, template)
     cond = jnp.array([1000.0, 300.0], jnp.float32)
@@ -194,8 +246,8 @@ def main(argv=None):
 
     d = args.atoms * 3
     probe_list = [int(k) for k in args.probes.split(",")]
-    print(f"probe-mode study: {args.atoms} atoms (d={d}), F={args.features} x "
-          f"{args.layers}, {field} field, {args.keys} keys x {args.nodes} nodes",
+    print(f"probe-mode study: {atoms} atoms (d={d}), F={features} x "
+          f"{layers}, {field} field, {args.keys} keys x {args.nodes} nodes",
           file=sys.stderr, flush=True)
 
     @jax.jit

@@ -58,7 +58,7 @@ def main():
 
     # Pallas kernels only lower on TPU — skip the fused rows elsewhere so
     # the stochastic/exact comparisons still run on a CPU dev box
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
 
     t_fwd = timed(fwd(False), x, reps=32)
     print(f"primal fwd    batch={chains}: {t_fwd*1e3:8.2f} ms  ({t_fwd/chains*1e6:7.1f} us/chain)")

@@ -221,6 +221,15 @@ def divergence_hutchinson(
     if axis_name is not None:
         n = jax.lax.axis_size(axis_name)
         per = -(-num_probes // n)
+        if probe_mode == "orthogonal" and per > d:
+            # report in the caller's terms: _probe_block sees only the
+            # per-shard count, which is not what the user passed
+            raise ValueError(
+                f"orthogonal probe_mode over axis {axis_name!r} draws "
+                f"ceil({num_probes}/{n}) = {per} probes per shard but dim "
+                f"is only {d}; use num_probes <= {n * d} (per-shard frames "
+                "are orthogonalized locally) or probe_mode='rademacher'"
+            )
         k_local = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z, w = _probe_block(k_local, per, d, flat.dtype, probe_mode)
         part = jnp.sum(w * jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z))

@@ -195,5 +195,12 @@ def load_checkpoint(path: str, like=None):
 
     ckptr = ocp.PyTreeCheckpointer()
     if like is not None:
-        return ckptr.restore(os.path.abspath(path), item=like)
+        # item= alone only gives the tree structure; the per-leaf restore
+        # shardings come from restore_args. Without them a checkpoint saved
+        # on another backend (chip-saved oracle opened under
+        # JAX_PLATFORMS=cpu) fails with "sharding ... Got None".
+        restore_args = ocp.checkpoint_utils.construct_restore_args(like)
+        return ckptr.restore(
+            os.path.abspath(path), item=like, restore_args=restore_args
+        )
     return ckptr.restore(os.path.abspath(path))
