@@ -78,14 +78,32 @@ def _oracle_study(args):
         model_save_path="/tmp/probe_mode_oracle/models",
         data_save_path="/tmp/probe_mode_oracle/out",
     )
-    print(f"training the harmonic oracle: {n} atoms (d={d}), "
-          f"F={args.features} x {args.layers}, {args.train_epochs} epochs",
-          file=sys.stderr, flush=True)
-    res = train_ambient(
-        cfg,
-        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
-        MDQM9AmbientDataset.from_arrays(stack, temps, mol),
+    # --reuse: the oracle is deterministic in (atoms, features, layers,
+    # epochs), so cache the trained params — on a flaky TPU tunnel the
+    # qualification sweep can then iterate on (mode, K) without paying the
+    # training run again after a stall/retry.
+    import os
+
+    from ti_tpu.train import common as train_common
+    from ti_tpu.train.ambient import build_ambient_model
+
+    dataset = MDQM9AmbientDataset.from_arrays(stack, temps, mol)
+    ckpt = os.path.abspath(
+        f"/tmp/probe_mode_oracle/ckpt_a{n}_f{args.features}"
+        f"_l{args.layers}_e{args.train_epochs}"
     )
+    if args.reuse and os.path.exists(ckpt):
+        print(f"reusing the trained oracle at {ckpt}", file=sys.stderr, flush=True)
+        params = train_common.load_checkpoint(ckpt)["params"]
+        res = {"model": build_ambient_model(cfg), "params": params,
+               "template": dataset.template}
+    else:
+        print(f"training the harmonic oracle: {n} atoms (d={d}), "
+              f"F={args.features} x {args.layers}, {args.train_epochs} epochs",
+              file=sys.stderr, flush=True)
+        res = train_ambient(cfg, dataset, dataset)
+        if args.reuse:
+            train_common.save_checkpoint(ckpt, {"params": res["params"]})
     v_of = molecular_v_fn_of(res["model"], res["params"], res["template"])
 
     n_chains = args.chains
@@ -146,6 +164,11 @@ def main(argv=None):
                     "end-to-end TFEP dF/ESS per probe mode instead of raw "
                     "estimator rms")
     ap.add_argument("--train_epochs", type=int, default=60)
+    ap.add_argument("--reuse", action="store_true",
+                    help="(--oracle) cache/reload the trained oracle params "
+                    "under /tmp/probe_mode_oracle keyed on the arch flags — "
+                    "lets a qualification sweep survive tunnel stalls "
+                    "without retraining")
     ap.add_argument("--chains", type=int, default=512)
     ap.add_argument("--crn", action="store_true",
                     help="(--oracle) also report probe_crn=True rows — the "
