@@ -94,8 +94,20 @@ def _oracle_study(args):
     )
     if args.reuse and os.path.exists(ckpt):
         print(f"reusing the trained oracle at {ckpt}", file=sys.stderr, flush=True)
-        params = train_common.load_checkpoint(ckpt)["params"]
-        res = {"model": build_ambient_model(cfg), "params": params,
+        model = build_ambient_model(cfg)
+        try:
+            params = train_common.load_checkpoint(ckpt)["params"]
+        except Exception as e:
+            # cross-backend restore (a chip-saved oracle reopened under
+            # JAX_PLATFORMS=cpu — the documented tunnel-stall pivot) needs
+            # an item template for the restore shardings, same as the
+            # --params path below
+            print(f"[probe_mode_study] bare --reuse restore failed "
+                  f"({type(e).__name__}); retrying with a like= template",
+                  file=sys.stderr, flush=True)
+            like = {"params": model.init(jax.random.PRNGKey(0), dataset.template)}
+            params = train_common.load_checkpoint(ckpt, like=like)["params"]
+        res = {"model": model, "params": params,
                "template": dataset.template}
     else:
         print(f"training the harmonic oracle: {n} atoms (d={d}), "

@@ -46,6 +46,31 @@ def main(argv):
     ap.add_argument("--n_gen", type=int, default=2048)
     ap.add_argument("--align", type=int, default=1)
     ap.add_argument("--out_dir", default="/tmp/latent_physics")
+    ap.add_argument("--n_steps", type=int, default=64,
+                    help="rk4 trajectory steps for the generator transport")
+    ap.add_argument("--compute_dtype", choices=["f32", "bf16", "bf16_agg"],
+                    default="f32",
+                    help="sampling-path compute dtype (the latent fast "
+                         "profile is rk4-64 + bf16, CLAUDE.md)")
+    ap.add_argument("--quad_dlogp", action="store_true",
+                    help="Gauss-Legendre quadrature-decoupled dlogp instead "
+                         "of the stage-coupled exact dlogp (the bench path; "
+                         "REQUIRED at 10506 capacity — stage-coupled exact "
+                         "at F=256/29 atoms exceeds the tunnel dispatch "
+                         "deadline and HBM)")
+    ap.add_argument("--gl_points", type=int, default=8)
+    ap.add_argument("--divergence", choices=["exact", "hutchinson"],
+                    default="exact")
+    ap.add_argument("--num_probes", type=int, default=16)
+    ap.add_argument("--probe_mode", choices=["rademacher", "orthogonal"],
+                    default="rademacher")
+    ap.add_argument("--sample_batch", type=int, default=512,
+                    help="generator chain batch (HBM bound: lower at "
+                         "F=256 / 29 atoms with exact divergence)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reload out_dir/oracle_params from a previous run "
+                         "instead of retraining (profile studies on the "
+                         "same trained generator)")
     args = ap.parse_args(argv)
 
     from ti_tpu.config import MDQM9Config
@@ -66,7 +91,12 @@ def main(argv):
         n_features=args.features, score_layers=args.layers, batch_size=args.batch,
         n_epochs=args.epochs, learning_rate=args.lr, t_distr=args.t_distr,
         scale_trajs=False, T=[T], sampling_T=T,
-        solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
+        solver_type="rk4", n_steps=args.n_steps, return_dlogp=True,
+        divergence=args.divergence, num_probes=args.num_probes,
+        probe_mode=args.probe_mode,
+        compute_dtype=args.compute_dtype,
+        dlogp_quad_points=args.gl_points if args.quad_dlogp else 0,
+        dlogp_quad="gauss",
         steps_per_dispatch=16,
         model_save_path=f"{args.out_dir}/models", data_save_path=f"{args.out_dir}/out",
         use_wandb=False,
@@ -74,13 +104,35 @@ def main(argv):
     ds = MDQM9LatentDataset.from_arrays(
         frames, np.full(len(frames), float(T)), mol, t_cond=0, align=bool(args.align)
     )
-    res = train_latent(cfg, ds)
-    print("final train losses:", [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
-          file=sys.stderr)
+
+    import os
+
+    from ti_tpu.train import common as train_common
+    from ti_tpu.train.latent import build_latent_model
+
+    params_path = os.path.join(args.out_dir, "oracle_params")
+    if args.reuse and os.path.exists(params_path):
+        print(f"reusing trained params from {params_path}", file=sys.stderr)
+        model = build_latent_model(cfg)
+        try:
+            params = train_common.load_checkpoint(params_path)["params"]
+        except Exception:  # cross-backend restore needs a template
+            import jax
+
+            like = {"params": model.init(jax.random.PRNGKey(0), ds.template)}
+            params = train_common.load_checkpoint(params_path, like=like)["params"]
+        res = {"model": model, "params": params, "template": ds.template}
+    else:
+        res = train_latent(cfg, ds)
+        print("final train losses:",
+              [f"{x:.3f}" for x in res["history"]["train_loss"][-3:]],
+              file=sys.stderr)
+        train_common.save_checkpoint(params_path, {"params": res["params"]})
 
     out = sample_latent(
         cfg, res["model"], res["params"], res["template"],
-        n_samples=args.n_gen, save=False, batch_size=min(args.n_gen, 512),
+        n_samples=args.n_gen, save=False,
+        batch_size=min(args.n_gen, args.sample_batch),
     )
     z = out["samples"][:, 0]
     x = out["samples"][:, -1]

@@ -79,6 +79,23 @@ def main(argv):
                     help="share the stochastic-divergence probes across chains "
                          "(common random numbers: the common component of the "
                          "dlogp noise cancels in self-normalized weights)")
+    ap.add_argument("--eval_seed", type=int, default=0,
+                    help="PRNG seed for the transport evaluation (stochastic-"
+                         "divergence probe draws): repeat runs at different "
+                         "seeds measure the oracle's own scatter")
+    ap.add_argument("--sde_g", type=lambda s: [float(v) for v in s.split(",")],
+                    default=None,
+                    help="comma list of SDE noise scales g: also transport "
+                         "with Euler-Maruyama (velocity drift + g dW, no "
+                         "dlogp — the bench SDE path) and report the final "
+                         "marginal width and the KS statistic of the "
+                         "target-energy distribution vs its closed form "
+                         "Gamma(3(N-1)/2, 1) — the SDE-marginal "
+                         "qualification (no score model is trained, so "
+                         "g>0 biases the marginal O(g^2); this measures "
+                         "the bias on the trained field)")
+    ap.add_argument("--sde_steps", type=int, default=100,
+                    help="Euler-Maruyama step count for --sde_g")
     ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
                     help="training forward impl (dense = the sampling hot "
                          "path's batched pair formulation)")
@@ -195,7 +212,7 @@ def main(argv):
         for i in range(0, len(x0), bs):
             sol = sampler(
                 jnp.asarray(x0[i : i + bs]), temps_v[i : i + bs],
-                jax.random.PRNGKey(0),
+                jax.random.PRNGKey(args.eval_seed),
             )
             xs.append(np.asarray(sol.xs[:, -1]))
             lps.append(np.asarray(sol.dlogp[:, -1]))
@@ -249,6 +266,46 @@ def main(argv):
             f"x1_rms_shift_{name}": float(np.sqrt(np.mean((x1_b - x1) ** 2))),
         })
 
+    sde_report = {}
+    if args.sde_g:
+        from scipy import stats
+
+        from ti_tpu.sampling.drivers import sample_molecular_sde
+
+        # closed form: with COM removed, e1 = |x1c - p_eq|^2 / (2 sigma1^2)
+        # is a sum of 3(N-1) squared standard normals / 2 ~ Gamma(3(N-1)/2, 1)
+        gamma_shape = 3 * (N - 1) / 2.0
+        cd = {"f32": None, "bf16": jnp.bfloat16, "bf16_agg": "bf16_agg"}[headline_dtype]
+        for gval in args.sde_g:
+            bs = args.eval_batch or len(x0)
+            outs = []
+            for i in range(0, len(x0), bs):
+                out = sample_molecular_sde(
+                    res["model"], res["params"], res["template"],
+                    jnp.asarray(x0[i : i + bs]), temps_v[i : i + bs],
+                    jax.random.PRNGKey(7 + i), g_fn=gval,
+                    n_steps=args.sde_steps, compute_dtype=cd,
+                )
+                outs.append(np.asarray(out[:, -1]))
+            x1_sde = np.concatenate(outs)
+            x1c_s = x1_sde - x1_sde.mean(1, keepdims=True)
+            w_s = float(np.sqrt(
+                np.sum((x1c_s - p_eq) ** 2, axis=(1, 2)).mean() / (3 * (N - 1))
+            ))
+            e1_s = np.sum((x1c_s - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T1) ** 2)
+            ks = float(stats.kstest(e1_s, stats.gamma(gamma_shape).cdf).statistic)
+            tag = f"{gval:g}"
+            sde_report[f"sde_g{tag}_width"] = w_s
+            sde_report[f"sde_g{tag}_ks_energy"] = ks
+            print(f"[sde-study] g={gval:g} steps={args.sde_steps}: "
+                  f"width={w_s:.4f} (target {sigma(T1):.4f}), KS(e1)={ks:.4f}",
+                  file=sys.stderr)
+        # ODE-route yardstick on the same samples (what "at the floor" means)
+        e1_o = np.sum((x1c - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T1) ** 2)
+        sde_report["ode_ks_energy"] = float(
+            stats.kstest(e1_o, stats.gamma(gamma_shape).cdf).statistic
+        )
+
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_start": sigma(T0),
         "dlogp_mean": float(dlogp.mean()),
@@ -264,6 +321,7 @@ def main(argv):
         "train_temps": train_T,
         "extrapolated_T1": T1 not in train_T,
         **dtype_report,
+        **sde_report,
     }))
 
 

@@ -93,6 +93,29 @@ def test_bootstrap_generator_matches_point_estimate():
     np.testing.assert_allclose(mean, -np.real(d), atol=0.3)
 
 
+def test_bootstrap_tol_zero_degenerate_spectrum_finite():
+    """tol=0 keeps every mode; with a rank-deficient feature Gram the
+    machine-noise modes must hit the same sqrt(eps)*s_max floor as
+    whitening_transform (reference gedmd/util.py:34-69 semantics at
+    degenerate spectra) instead of producing ~1e9 whitening columns."""
+    X = _stationary_samples(400)
+    Omega = sample_rff_gaussian(4, 1, 24, 0.8)
+    # duplicated frequencies => exactly rank-deficient Gram
+    Omega = np.concatenate([Omega, Omega], axis=1)
+    mean, lo, hi = bootstrap_generator_eigenvalues(
+        X, Omega, nev=3, a=2.0 / BETA, tol=0.0, n_bootstrap=20, seed=7, chunk=10,
+    )
+    assert np.all(np.isfinite(mean)) and np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))
+    assert np.all(lo <= mean + 1e-9) and np.all(mean <= hi + 1e-9)
+    # and the point-estimate route (whitening_transform's guard) stays
+    # finite AND consistent with the bootstrap under the same degenerate
+    # tol=0 spectrum — the two guard paths agree on which (noise) modes
+    # top the whitened spectrum
+    d, _ = spectral_analysis_rff_generator(X, Omega, nev=3, a=2.0 / BETA, tol=0.0)
+    assert np.all(np.isfinite(np.real(d)))
+    np.testing.assert_allclose(mean, -np.real(d), atol=0.5)
+
+
 def test_whitening_orthonormalizes():
     rng = np.random.default_rng(6)
     theta = rng.standard_normal((500, 16))

@@ -214,3 +214,103 @@ def test_fcnet_param_count_parity():
     )
     total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert total == expected
+
+
+def _radius_edge_table(x, cutoff, bond_index, bond_types):
+    """Hand-built radius graph (reference AddRadiusGraph + AddBondGraph +
+    Coalesce(max), mdqm9/thermo/utils.py:70-125): directed edges where
+    dist <= cutoff, plus all bond edges; edge type = max(0, bond type)."""
+    from ti_tpu.ops.graph import EdgeTable
+
+    x = np.asarray(x)
+    n = len(x)
+    type_mat = np.zeros((n, n), dtype=np.int32)
+    if bond_index is not None and bond_index.size:
+        np.maximum.at(
+            type_mat, (bond_index[0], bond_index[1]), np.asarray(bond_types, np.int32)
+        )
+    src, dst = [], []
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            within = np.linalg.norm(x[j] - x[i]) <= cutoff
+            if within or type_mat[j, i] > 0:
+                src.append(j)
+                dst.append(i)
+    return EdgeTable(
+        src=jnp.asarray(np.asarray(src, np.int32)),
+        dst=jnp.asarray(np.asarray(dst, np.int32)),
+        edge_type=jnp.asarray(type_mat[np.asarray(src), np.asarray(dst)]),
+        n_nodes=n,
+        dst_major_complete=False,
+    )
+
+
+def test_cpainn_cutoff_masks_match_radius_graph():
+    """Finite-cutoff masking of the static complete graph == running the
+    model on a hand-built radius graph (the reference's PyG radius_graph
+    semantics, mdqm9/thermo/utils.py:112-125); bond edges stay active even
+    beyond the cutoff."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+
+    mol = make_synthetic_molecule(n_atoms=8, seed=0)
+    template = graph_template(mol, t_cond=2)
+    x = jnp.asarray(
+        mol.positions - mol.positions.mean(0), jnp.float32
+    ) + 0.05 * jax.random.normal(jax.random.PRNGKey(3), (8, 3))
+    g = MolGraph(x, template.atom_ids, jnp.array(0.4),
+                 jnp.array([700.0, 300.0]), template.edges)
+
+    # pick a cutoff that excludes a nontrivial subset of the non-bonded
+    # pairs but not all of them (and confirm at least one bonded pair
+    # would also be excluded by distance alone — the always-active rule)
+    d = np.linalg.norm(np.asarray(x)[None] - np.asarray(x)[:, None], axis=-1)
+    cutoff = float(np.median(d[d > 0]))
+    bonded = np.zeros((8, 8), bool)
+    bonded[mol.bond_index[0], mol.bond_index[1]] = True
+    off = ~bonded & ~np.eye(8, dtype=bool)
+    assert (d[off] > cutoff).any() and (d[off] <= cutoff).any()
+
+    model_cut = CPaiNN(n_features=F, score_layers=2, conditioning="ambient",
+                       cutoff=cutoff)
+    model_full = CPaiNN(n_features=F, score_layers=2, conditioning="ambient")
+    params = model_full.init(jax.random.PRNGKey(1), g)
+
+    masked = model_cut.apply(params, g)
+    radius_edges = _radius_edge_table(x, cutoff, mol.bond_index, mol.bond_types)
+    explicit = model_full.apply(
+        params, MolGraph(x, template.atom_ids, g.t, g.temps, radius_edges)
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(explicit),
+                               rtol=1e-5, atol=1e-6)
+    # and the masking is not a no-op at this cutoff
+    full = model_full.apply(params, g)
+    assert float(jnp.max(jnp.abs(masked - full))) > 1e-5
+
+
+def test_dense_cutoff_matches_edge_path():
+    """apply_dense honors model.cutoff identically to the edge-table path."""
+    from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+    from ti_tpu.models.cpainn_dense import apply_dense
+
+    mol = make_synthetic_molecule(n_atoms=6, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=F, score_layers=2, conditioning="ambient",
+                   cutoff=1.1)
+    xs = jnp.asarray(mol.positions - mol.positions.mean(0), jnp.float32)[None]
+    xs = jnp.concatenate([xs, xs + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), xs.shape)])
+    ts = jnp.array([0.2, 0.7])
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (2, 1))
+    params = model.init(jax.random.PRNGKey(1), MolGraph(
+        xs[0], template.atom_ids, ts[0], temps[0], template.edges))
+
+    ref = jax.vmap(
+        lambda x, t, tp: model.apply(
+            params, MolGraph(x, template.atom_ids, t, tp, template.edges))
+    )(xs, ts, temps)
+    out = apply_dense(model, params, xs, ts, temps, template.atom_ids,
+                      template.edges)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)

@@ -292,3 +292,39 @@ def test_grad_accum_molecular_loss_runs():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), new_state.params, state.params
     )
     assert max(jax.tree.leaves(diff)) > 0.0
+
+
+def test_adw_f64_parity_mode(tmp_path):
+    """ADWConfig.dtype='f64' (reference adw/train.py:29 float64 training):
+    params train in f64 and the sampler runs the trajectory in f64; the
+    global x64 flag is restored so the rest of the suite stays f32."""
+    was_x64 = jax.config.jax_enable_x64
+    try:
+        csv = make_synthetic_adw_csv(
+            str(tmp_path / "samples.csv"), betas=[1.0, 1.25], n_samples=1200
+        )
+        cfg = ADWConfig(
+            n_samples=600, hidden_size=16, num_layers=2, epochs=2,
+            batch_size=128, dtype="f64",
+            traj_path=str(tmp_path), model_save_path=str(tmp_path / "models"),
+            data_save_path=str(tmp_path / "out"), n_step=4, solver_type="rk4",
+        )
+        result = train_adw(cfg)
+        assert all(
+            leaf.dtype == jnp.float64 for leaf in jax.tree.leaves(result["params"])
+        )
+        assert np.isfinite(result["history"]["train_loss"][-1])
+
+        x0 = np.random.default_rng(0).standard_normal((16, 1))
+        out = sample_adw(cfg, result["model"], result["params"], x0,
+                         np.ones(16), save=False)
+        assert out["samples"].dtype == np.float64
+        assert np.all(np.isfinite(out["samples"]))
+    finally:
+        jax.config.update("jax_enable_x64", was_x64)
+
+
+def test_adw_dtype_rejects_unknown():
+    with pytest.raises(ValueError, match="f32 or f64"):
+        from ti_tpu.train.adw import _adw_dtype
+        _adw_dtype(ADWConfig(dtype="bf16"))

@@ -39,6 +39,12 @@ class ADWConfig:
     n_samples: int = 300_000
     hidden_size: int = 256
     num_layers: int = 5
+    # "f32" (default) or "f64": the reference trains ADW in float64
+    # (adw/train.py:29). f64 enables jax_enable_x64 and is a CPU-only
+    # parity mode — TPUs have no native f64 (the trained-field f64-vs-f32
+    # comparison is recorded in BASELINE.md; f32 physics passes the same
+    # quadrature-ΔF oracle, so f32 stays the TPU default)
+    dtype: str = "f32"
     lr: float = 1e-4
     wd: float = 1e-5
     batch_size: int = 512
@@ -102,6 +108,10 @@ class MDQM9Config:
     # the same mixed-precision profiles as the sampling path
     train_compute_dtype: str = "f32"
     # model
+    # radius-graph cutoff (reference mdqm9/thermo/utils.py:112-125). All 17
+    # reference configs use 1000.0 ⇒ the complete graph; values >= 1000 keep
+    # the static complete-graph fast path, finite values mask non-bonded
+    # edges with dist > cutoff per evaluation (CPaiNN.cutoff)
     cutoff: float = 1000.0
     temp_length: float = 100.0
     n_features: int = 128

@@ -323,7 +323,11 @@ def bootstrap_generator_eigenvalues(
         s = np.sqrt(np.maximum(lam, 0.0))
         keep = s / s[:, :1] >= tol
         keep |= np.arange(p)[None, :] < nev
-        inv_s = np.where(keep, 1.0 / np.maximum(s, 1e-300), 0.0)
+        # same sqrt(eps)*s_max noise floor as whitening_transform: at tol=0
+        # a machine-noise mode would otherwise get a ~1e9 whitening column
+        # and garbage eigenvalues (the guard paths must agree)
+        floor = s[:, :1] * np.sqrt(np.finfo(s.dtype).eps)
+        inv_s = np.where(keep, 1.0 / np.maximum(s, floor), 0.0)
         L = U * inv_s[:, None, :]
         R = np.einsum("bij,bjk,bkl->bil", L.conj().transpose(0, 2, 1), MLw, L, optimize=True)
         R = R + np.where(keep, 0.0, _NEG_PAD)[:, :, None] * np.eye(p)[None]

@@ -86,7 +86,13 @@ class EquivariantLinear(nn.Module):
 
 
 class SE3Message(nn.Module):
-    """Chirality-aware PaiNN message (reference SE3Message, cpainn.py:233-307)."""
+    """Chirality-aware PaiNN message (reference SE3Message, cpainn.py:233-307).
+
+    ``edge_mask`` (E, 1), if given, zeroes the full MLP output row of
+    inactive edges before any aggregation/update — exactly equivalent to
+    those edges being absent from the graph (their ``e`` rows still carry
+    values but every consumer of them is re-masked each layer).
+    """
 
     n_features: int
     length_scale: float = 10.0
@@ -94,7 +100,8 @@ class SE3Message(nn.Module):
 
     @nn.compact
     def __call__(
-        self, s: Array, v: Array, e: Array, edge_dist: Array, edge_dir: Array, edges: EdgeTable
+        self, s: Array, v: Array, e: Array, edge_dist: Array, edge_dir: Array, edges: EdgeTable,
+        edge_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
         f = self.n_features
         in_features = jnp.concatenate([s[edges.src], e], axis=-1)  # (E, 2F)
@@ -102,6 +109,8 @@ class SE3Message(nn.Module):
         h = MLP(f, 5 * f, name="phi", dtype=self.dtype)(in_features) * MLP(
             f, 5 * f, name="w", dtype=self.dtype
         )(pe)
+        if edge_mask is not None:
+            h = h * edge_mask.astype(h.dtype)
         gates, scale_edge_dir, ds, de, cross_gates = jnp.split(h, 5, axis=-1)
 
         gated = gates[..., None] * v[edges.src]  # (E, F, 3)
@@ -177,6 +186,22 @@ class CPaiNN(nn.Module):
     length_scale: float = 10.0
     temperatures: Tuple[float, ...] = (300.0, 400.0, 500.0, 600.0, 700.0, 800.0, 900.0, 1000.0)
     conditioning: str = "ambient"  # "ambient" | "latent" | "none"
+    # Finite radius-graph cutoff (the reference's `cutoff` config key,
+    # mdqm9/thermo/utils.py:112-125): a non-bonded edge participates only
+    # while |x_src - x_dst| <= cutoff; bond edges are always active
+    # (AddBondGraph is unconditional, coalesce reduce="max"). None = the
+    # complete graph — every reference production config uses cutoff=1000,
+    # which can never exclude an edge on these molecules, so the masking is
+    # skipped entirely. Shapes stay static: the complete-graph edge table is
+    # kept and inactive edges are MASKED per evaluation. NOTE a deliberate
+    # semantic refinement: the reference builds its radius graph once per
+    # data item from the item's stored positions (mdqm9_ambient.py:104-107)
+    # and keeps that edge set frozen along the ODE trajectory (reset_batch
+    # touches only x and t, ode_wrapper.py:94-113); we evaluate the cutoff
+    # against the CURRENT positions each forward — identical during
+    # training (the graph is built from the same x the forward sees),
+    # continuous instead of frozen during sampling.
+    cutoff: Optional[float] = None
     # compute/activation dtype for the MLP stacks (params stay f32);
     # jnp.bfloat16 roughly doubles sampling throughput on v5e (the path is
     # HBM-bandwidth-bound). Geometry (edge vectors, norms, cross products)
@@ -193,6 +218,12 @@ class CPaiNN(nn.Module):
         r = x[g.edges.src] - x[g.edges.dst]
         edge_dist = jnp.linalg.norm(r, axis=-1)
         edge_dir = r / (1.0 + edge_dist[..., None])
+
+        edge_mask = None
+        if self.cutoff is not None:
+            edge_mask = (
+                (g.edges.edge_type > 0) | (edge_dist <= self.cutoff)
+            ).astype(x.dtype)[:, None]
 
         # invariant features accumulate by concatenation (embedding.py:68-86)
         e = nn.Embed(self.n_edge_types, f, name="edge_embed")(g.edges.edge_type)
@@ -218,7 +249,7 @@ class CPaiNN(nn.Module):
 
         for i in range(self.score_layers):
             s, v, e = SE3Message(f, self.length_scale, name=f"message_{i}", dtype=self.dtype)(
-                s, v, e, edge_dist, edge_dir, g.edges
+                s, v, e, edge_dist, edge_dir, g.edges, edge_mask
             )
             s, v = Update(f, name=f"update_{i}", dtype=self.dtype)(s, v)
 

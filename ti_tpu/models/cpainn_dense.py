@@ -124,6 +124,12 @@ def apply_dense(
     mask = c((1.0 - jnp.eye(n, dtype=x.dtype))[None, :, :, None])  # (1, N, N, 1)
 
     etype = jnp.asarray(dense_edge_type_matrix(edges))
+    if model.cutoff is not None:
+        # finite radius cutoff (see CPaiNN.cutoff): non-bonded pairs with
+        # dist > cutoff drop out of every message contraction; bond pairs
+        # stay active unconditionally (reference AddBondGraph + coalesce)
+        active = (etype > 0)[None] | (dist <= model.cutoff)
+        mask = mask * c(active[..., None].astype(x.dtype))  # (B, N, N, 1)
     e = c(jnp.broadcast_to(p["edge_embed"]["embedding"][etype], (b, n, n, f)))
 
     feats = [jnp.broadcast_to(p["atom_embed"]["embedding"][atom_ids], (b, n, f))]

@@ -600,8 +600,14 @@ def sample_adw(
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
     )
 
-    x0j = jnp.asarray(x0, jnp.float32)
-    b0j = jnp.asarray(beta0, jnp.float32).reshape(-1)
+    # f64 parity mode follows the trained params (ADWConfig.dtype; CPU-only
+    # — see ti_tpu/train/adw.py::_adw_dtype)
+    dt = jnp.float32
+    if getattr(cfg, "dtype", "f32") in ("f64", "float64"):
+        jax.config.update("jax_enable_x64", True)
+        dt = jnp.float64
+    x0j = jnp.asarray(x0, dt)
+    b0j = jnp.asarray(beta0, dt).reshape(-1)
     b1j = jnp.full_like(b0j, beta1)
     sol = sampler(x0j, (b0j, b1j), jax.random.PRNGKey(cfg.seed))
 

@@ -28,6 +28,16 @@ from ti_tpu.train import common
 from ti_tpu.utils.logging import MetricLogger
 
 
+def _adw_dtype(cfg: ADWConfig):
+    """Resolve ADWConfig.dtype, enabling x64 for the f64 parity mode."""
+    if cfg.dtype in ("f64", "float64"):
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    if cfg.dtype not in ("f32", "float32"):
+        raise ValueError(f"ADWConfig.dtype must be f32 or f64, got {cfg.dtype!r}")
+    return jnp.float32
+
+
 def train_adw(
     cfg: ADWConfig,
     base_data: Optional[ADWDataset] = None,
@@ -47,15 +57,19 @@ def train_adw(
     train0, val0, _ = base_data.splits()
     train1, val1, _ = target_data.splits()
 
+    # f64 parity mode (reference adw/train.py:29; ADWConfig.dtype docstring:
+    # CPU-only — enable x64 BEFORE any array in the training graph exists)
+    dt = _adw_dtype(cfg)
+
     model = FCNetMultiBeta(
-        in_size=1, out_size=1, hidden_size=cfg.hidden_size, num_layers=cfg.num_layers
+        in_size=1, out_size=1, hidden_size=cfg.hidden_size,
+        num_layers=cfg.num_layers, param_dtype=dt,
     )
     interp = interpolants.linear(a=cfg.a, gamma=cfg.gamma)
 
     key, init_key = jax.random.split(key)
-    params = model.init(
-        init_key, jnp.zeros((1, 1)), jnp.zeros((1, 1)), jnp.zeros((1, 1)), jnp.zeros((1, 1))
-    )
+    z = jnp.zeros((1, 1), dt)
+    params = model.init(init_key, z, z, z, z)
 
     def apply_fn(p, xt, t, b0, b1):
         return model.apply(p, xt, t, b0, b1)
@@ -103,13 +117,17 @@ def train_adw(
         x1s, b1s = train1.epoch_batches(k1, cfg.batch_size)
         nb = min(len(x0s), len(x1s))
         state, train_loss = train_epoch(
-            state, ktr, x0s[:nb], x1s[:nb], b0s[:nb], b1s[:nb]
+            state, ktr,
+            *(jnp.asarray(a[:nb], dt) for a in (x0s, x1s, b0s, b1s)),
         )
 
         vx0, vb0 = val0.epoch_batches(k0, cfg.batch_size)
         vx1, vb1 = val1.epoch_batches(k1, cfg.batch_size)
         nv = min(len(vx0), len(vx1))
-        val_loss = eval_epoch(state.params, kval, vx0[:nv], vx1[:nv], vb0[:nv], vb1[:nv])
+        val_loss = eval_epoch(
+            state.params, kval,
+            *(jnp.asarray(a[:nv], dt) for a in (vx0, vx1, vb0, vb1)),
+        )
 
         new_lr = scheduler.step(float(val_loss), float(state.lr))
         state = state._replace(lr=jnp.asarray(new_lr, jnp.float32))

@@ -41,6 +41,10 @@ def build_ambient_model(cfg: MDQM9Config) -> CPaiNN:
         score_layers=cfg.score_layers,
         temp_length=cfg.temp_length,
         conditioning="ambient",
+        # cutoff >= 1000 is the reference configs' complete-graph sentinel
+        # (no QM9 molecule spans 1000 scaled units); finite values enable
+        # per-eval distance masking (CPaiNN.cutoff docstring)
+        cutoff=None if cfg.cutoff >= 1000.0 else float(cfg.cutoff),
     )
 
 

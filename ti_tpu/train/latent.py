@@ -37,6 +37,9 @@ def build_latent_model(cfg: MDQM9Config) -> CPaiNN:
         score_layers=cfg.score_layers,
         temp_length=cfg.temp_length,
         conditioning="latent" if multi_t else "none",
+        # same sentinel rule as build_ambient_model (reference latent
+        # AddGraph(cutoff), thermo/latent/models/graph.py:127-140)
+        cutoff=None if cfg.cutoff >= 1000.0 else float(cfg.cutoff),
         **kwargs,
     )
 
