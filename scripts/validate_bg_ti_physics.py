@@ -43,6 +43,17 @@ def main(argv):
     ap.add_argument("--n_gen", type=int, default=1024)
     ap.add_argument("--gl_points", type=int, default=8)
     ap.add_argument("--out_dir", default="/tmp/bg_ti_physics")
+    ap.add_argument("--compute_dtype", choices=["f32", "bf16", "bf16_agg"],
+                    default="f32",
+                    help="sampling compute dtype for BOTH stages (the "
+                         "qualified latent fast profile is bf16)")
+    ap.add_argument("--latent_quad", action="store_true",
+                    help="use the GL quadrature-decoupled dlogp for the "
+                         "LATENT stage too (stage 2 always uses it) — "
+                         "REQUIRED at 10506 capacity where stage-coupled "
+                         "exact dlogp exceeds HBM / the dispatch deadline")
+    ap.add_argument("--sample_batch", type=int, default=512,
+                    help="chain batch for both sampling stages")
     args = ap.parse_args(argv)
 
     from ti_tpu.analysis.weights import calc_ess, calc_importance_weights
@@ -77,7 +88,9 @@ def main(argv):
         n_epochs=args.latent_epochs, learning_rate=args.lr,
         scale_trajs=False, T=[T0], sampling_T=T0,
         solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
-        steps_per_dispatch=16,
+        steps_per_dispatch=16, compute_dtype=args.compute_dtype,
+        dlogp_quad_points=args.gl_points if args.latent_quad else 0,
+        dlogp_quad="gauss",
         model_save_path=f"{args.out_dir}/models_lat",
         data_save_path=f"{args.out_dir}/out_lat", use_wandb=False,
     )
@@ -89,7 +102,8 @@ def main(argv):
           file=sys.stderr)
     lat_out = sample_latent(
         lat_cfg, lat["model"], lat["params"], lat["template"],
-        n_samples=args.n_gen, save=False, batch_size=min(args.n_gen, 512),
+        n_samples=args.n_gen, save=False,
+        batch_size=min(args.n_gen, args.sample_batch),
     )
     z = lat_out["samples"][:, 0]
     x0 = lat_out["samples"][:, -1]
@@ -107,6 +121,7 @@ def main(argv):
         sampling_T0=T0, sampling_T1=T1,
         solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
         steps_per_dispatch=16, dlogp_quad_points=args.gl_points, dlogp_quad="gauss",
+        compute_dtype=args.compute_dtype,
         model_save_path=f"{args.out_dir}/models_amb",
         data_save_path=f"{args.out_dir}/out_amb", use_wandb=False,
     )
@@ -118,7 +133,7 @@ def main(argv):
     out = sample_ambient(
         amb_cfg, amb["model"], amb["params"], amb["template"],
         x0, latent_z=z, latent_dlogp=dlogp_bg, save=False,
-        batch_size=min(args.n_gen, 256),
+        batch_size=min(args.n_gen, 256, args.sample_batch),
     )
     x1 = out["samples"][:, -1]
     dlogp_ti = out["dlogps"]

@@ -1,0 +1,294 @@
+"""Molecule-blocked pair-tensor message layer — one Pallas kernel per
+cPaiNN message layer (the VERDICT-r2 exploratory axis for the plain
+forward / SDE path).
+
+Why: in XLA, apply_dense (models/cpainn_dense.py) materializes per layer
+a (B, N, N, 5F) message tensor plus both 3-dot MLP pipelines' hidden
+activations in HBM — ~15 MB/chain-step at the bench config, which bounds
+the SDE path at ~10% MXU utilization (BASELINE.md round-3 forward scan).
+This kernel processes ONE chain per grid step and keeps every pair-grid
+intermediate in VMEM:
+
+- pair geometry (r, dist, edge_dir) is RECOMPUTED in-kernel from the
+  (N, 3) positions — never stored in HBM;
+- the positional encoding of dist is built in-kernel from a lane iota
+  (lane k: rank k//2+1, cos for even / sin for odd lanes — exactly
+  embeddings.positional_encoding's interleave);
+- in_features = [s_src | e] is assembled in VMEM by tiling s (row-major
+  pair order p = i·N + j makes s_src = tile(s, (N, 1)));
+- both message MLPs (Dense-LN-SiLU ×2 → Dense, ops/pallas_kernels
+  ``_mlp_block``) and their 5F product run on the VMEM tile;
+- the three src-aggregations (Σ_j over each dst block of N rows) are ONE
+  (Np, Pp) @ (Pp, F) selection matmul each — MXU-friendly, no scatter;
+- the chirality term collapses like in apply_dense:
+  (Σ_j cg·dir) × v_dst, computed componentwise in-kernel.
+
+HBM traffic per chain-layer drops from ~3 MB to ~0.25 MB (x, s, v in;
+dv, ds out) + the carried e tensor (in+out). Inference-only — no autodiff
+rules; the SDE sampler and any no-dlogp rollout are the consumers
+(training and divergence keep the XLA composition, whose fusion trade-offs
+were measured separately — ROADMAP "hand kernel fusion" entries).
+
+Reference: the message math is SE3Message
+(mdqm9/thermo/ambient/models/cpainn.py:233-307) in the dense-pair
+formulation of models/cpainn_dense.py; parity is asserted against
+apply_dense in tests/test_pair_layer_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ti_tpu.ops.pallas_kernels import MLPWeights, _mlp_block, mlp_weights_from_flax
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pair_layer_kernel(
+    n: int,
+    f: int,
+    length_scale: float,
+    x_ref,      # (1, Np, 128)  positions in lanes 0..2
+    s_ref,      # (1, Np, F)    invariant node features
+    v_ref,      # (1, 3*Np, F)  equivariant features, component-major [x;y;z]
+    e_ref,      # (1, Pp, F)    pair features, row-major p = i*N + j
+    *refs,      # 20 weight refs (phi, w), then outputs
+):
+    phi = MLPWeights(*(r[:] for r in refs[:10]))
+    w = MLPWeights(*(r[:] for r in refs[10:20]))
+    dv_ref, ds_ref, e_out_ref = refs[20], refs[21], refs[22]
+
+    np_, pp = x_ref.shape[1], e_ref.shape[1]
+    x = x_ref[0]          # (Np, 128)
+    s = s_ref[0][:n]      # (N, F)
+    e = e_ref[0]          # (Pp, F)
+
+    # pair geometry from positions: row p = i*N + j -> r = x[j] - x[i]
+    pad_p = pp - n * n
+
+    def tile_rows(a):  # (N, W) -> (P, W), j cycles fast (src pattern)
+        w = a.shape[-1]
+        return jnp.reshape(jnp.broadcast_to(a[None, :, :], (n, n, w)), (n * n, w))
+
+    def repeat_rows(a):  # (N, W) -> (P, W), i repeats (dst pattern)
+        w = a.shape[-1]
+        return jnp.reshape(jnp.broadcast_to(a[:, None, :], (n, n, w)), (n * n, w))
+
+    def pad_rows(a):  # (P, W) -> (Pp, W)
+        if pad_p == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((pad_p, a.shape[-1]), a.dtype)], axis=0
+        )
+
+    xs = x[:n]                                        # (N, 128)
+    r = pad_rows(tile_rows(xs) - repeat_rows(xs))     # (Pp, 128)
+    d2 = r[:, 0:1] ** 2 + r[:, 1:2] ** 2 + r[:, 2:3] ** 2
+    dist = jnp.sqrt(d2)                               # (Pp, 1); diag = 0
+    inv = 1.0 / (1.0 + dist)
+
+    # masks from the pair iota: diagonal rows (i == j) and padding rows
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
+    i_idx = p_iota // n
+    j_idx = p_iota - i_idx * n
+    active = jnp.logical_and(i_idx != j_idx, p_iota < n * n)
+    mask = active.astype(s.dtype)                     # (Pp, 1)
+
+    # positional encoding of dist, interleaved cos/sin per rank
+    lane = jax.lax.broadcasted_iota(jnp.int32, (pp, f), 1)
+    rank = (lane // 2 + 1).astype(s.dtype)
+    ang = dist * rank * (math.pi / length_scale)      # (Pp, F)
+    pe = jnp.where(lane % 2 == 0, jnp.cos(ang), jnp.sin(ang))
+
+    # in_features = [s_src | e]; s_src = tile(s) in row-major pair order
+    s_src = pad_rows(tile_rows(s))
+    h = _mlp_block(jnp.concatenate([s_src, e], axis=-1), phi) * _mlp_block(pe, w)
+    h = h * mask                                      # (Pp, 5F)
+    gates = h[:, 0 * f : 1 * f]
+    scale_dir = h[:, 1 * f : 2 * f]
+    ds = h[:, 2 * f : 3 * f]
+    de = h[:, 3 * f : 4 * f]
+    cg = h[:, 4 * f : 5 * f]
+
+    # dst-block aggregation: S[i, p] = 1 iff p // N == i (one matmul per
+    # aggregated tensor — the reshape-sum of ops/graph.py as an MXU dot)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, pp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, pp), 1)
+    S = (row == col // n).astype(s.dtype)             # (Np, Pp)
+
+    def agg(rows):  # (Pp, F) -> (Np, F)
+        return jax.lax.dot(S, rows, preferred_element_type=jnp.float32)
+
+    v = v_ref[0]  # (3*Np, F)
+    out_cols = []
+    t_cg = []
+    for c in range(3):
+        vc = v[c * np_ : (c + 1) * np_][:n]           # (N, F)
+        vc_src = pad_rows(tile_rows(vc))
+        dir_c = r[:, c : c + 1] * inv                 # (Pp, 1)
+        out_cols.append(agg(gates * vc_src + scale_dir * dir_c))
+        t_cg.append(agg(cg * dir_c))                  # (Np, F)
+
+    # chirality: (Σ_j cg·dir) × v_dst, componentwise
+    vx, vy, vz = (v[c * np_ : (c + 1) * np_] for c in range(3))
+    cx = t_cg[1] * vz - t_cg[2] * vy
+    cy = t_cg[2] * vx - t_cg[0] * vz
+    cz = t_cg[0] * vy - t_cg[1] * vx
+
+    dv_ref[0] = jnp.concatenate(
+        [out_cols[0] + cx, out_cols[1] + cy, out_cols[2] + cz], axis=-1
+    )  # (Np, 3F), lanes [x | y | z]
+    ds_ref[0] = agg(ds)
+    e_out_ref[0] = e + de
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pair_layer(n: int, f: int, np_: int, pp: int, length_scale: float,
+                      interpret: bool):
+    kern = functools.partial(_pair_layer_kernel, n, f, length_scale)
+
+    def chain_spec(rows, width):
+        return pl.BlockSpec((1, rows, width), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def weight_spec(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def call(x_pad, s_pad, v_pad, e_pad, phi: MLPWeights, w: MLPWeights):
+        b = x_pad.shape[0]
+
+        def as2d(a):
+            return a[None, :] if a.ndim == 1 else a
+
+        phi2 = MLPWeights(*(as2d(a) for a in phi))
+        w2 = MLPWeights(*(as2d(a) for a in w))
+        return pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[
+                chain_spec(np_, 128),      # x
+                chain_spec(np_, f),        # s
+                chain_spec(3 * np_, f),    # v
+                chain_spec(pp, f),         # e
+            ] + [weight_spec(t.shape) for t in (*phi2, *w2)],
+            out_specs=[
+                chain_spec(np_, 3 * f),    # dv
+                chain_spec(np_, f),        # ds
+                chain_spec(pp, f),         # e_out
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, np_, 3 * f), x_pad.dtype),
+                jax.ShapeDtypeStruct((b, np_, f), x_pad.dtype),
+                jax.ShapeDtypeStruct((b, pp, f), x_pad.dtype),
+            ],
+            interpret=interpret,
+        )(x_pad, s_pad, v_pad, e_pad, *phi2, *w2)
+
+    return call
+
+
+def apply_dense_pair_kernel(
+    model,
+    params,
+    x: Array,      # (B, N, 3)
+    t: Array,      # (B,)
+    temps: Array,  # (B, K)
+    atom_ids: Array,
+    edges,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Batched velocity field with the fused pair-layer kernel.
+
+    Same math as ``apply_dense`` (f32, complete graph); parity asserted in
+    tests/test_pair_layer_kernel.py. Inference-only (SDE / no-dlogp
+    rollouts): no autodiff rules cross the kernel.
+    """
+    import numpy as np
+
+    from ti_tpu.models.cpainn_dense import dense_edge_type_matrix
+    from ti_tpu.models.embeddings import positional_encoding, temperature_encoding
+
+    if getattr(model, "cutoff", None) is not None:
+        raise NotImplementedError(
+            "apply_dense_pair_kernel supports the complete graph only "
+            "(cutoff=None); use apply_dense for finite-cutoff models"
+        )
+    p = params["params"]
+    f = model.n_features
+    b, n, _ = x.shape
+    np_ = _round_up(n, 8)
+    pp = _round_up(n * n, 8)
+
+    # node embeddings + combine MLP (XLA: O(B·N·F) rows, cheap)
+    feats = [jnp.broadcast_to(p["atom_embed"]["embedding"][atom_ids], (b, n, f))]
+    if model.conditioning == "ambient":
+        for i in range(2):
+            enc = temperature_encoding(temps[:, i], f, model.temp_length, model.temperatures)
+            feats.append(jnp.broadcast_to(enc[:, None, :], (b, n, f)))
+    elif model.conditioning == "latent":
+        enc = temperature_encoding(temps[:, 0], f, model.temp_length, model.temperatures)
+        feats.append(jnp.broadcast_to(enc[:, None, :], (b, n, f)))
+    t_enc = positional_encoding(t, f, model.time_length)
+    feats.append(jnp.broadcast_to(t_enc[:, None, :], (b, n, f)))
+    s = _mlp_block(
+        jnp.concatenate(feats, axis=-1), mlp_weights_from_flax(p["combine"])
+    )  # (B, N, F)
+
+    # pair features in flat row-major (i·N + j) layout, kept flat throughout
+    etype = dense_edge_type_matrix(edges)  # (N, N), [dst, src]
+    etype_flat = jnp.asarray(np.asarray(etype).reshape(n * n))
+    e = jnp.broadcast_to(p["edge_embed"]["embedding"][etype_flat], (b, n * n, f))
+    e = jnp.pad(e, ((0, 0), (0, pp - n * n), (0, 0)))
+
+    x_pad = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 128 - 3)))
+    v = jnp.zeros((b, 3 * np_, f), dtype=x.dtype)  # component-major [x; y; z]
+    s = jnp.pad(s, ((0, 0), (0, np_ - n), (0, 0)))
+
+    layer_call = _build_pair_layer(n, f, np_, pp, float(model.length_scale), interpret)
+
+    for layer in range(model.score_layers):
+        mp = p[f"message_{layer}"]
+        dv, ds, e = layer_call(
+            x_pad, s, v, e,
+            mlp_weights_from_flax(mp["phi"]), mlp_weights_from_flax(mp["w"]),
+        )
+        s = s + ds
+        # dv lanes [x | y | z] -> component-major rows
+        v = v + jnp.concatenate(
+            [dv[:, :, c * f : (c + 1) * f] for c in range(3)], axis=1
+        )
+
+        # node update (XLA; reference Update, cpainn.py:318-376)
+        up = p[f"update_{layer}"]
+        v3 = jnp.stack(
+            [v[:, c * np_ : (c + 1) * np_, :] for c in range(3)], axis=-1
+        )  # (B, Np, F, 3)
+        uv = jnp.einsum("bnfc,fg->bngc", v3, up["u"]["kernel"])
+        vv = jnp.einsum("bnfc,fg->bngc", v3, up["v"]["kernel"])
+        vv_norm = jnp.linalg.norm(vv, axis=-1)
+        hu = _mlp_block(
+            jnp.concatenate([vv_norm, s], axis=-1), mlp_weights_from_flax(up["mlp"])
+        )
+        g_u, scale_sq, add_inv = jnp.split(hu, 3, axis=-1)
+        v3 = v3 + g_u[..., None] * uv
+        s = s + vv_norm**2 * scale_sq + add_inv
+        v = jnp.concatenate([v3[..., c] for c in range(3)], axis=1)
+
+    ro = p["readout"]
+    v3 = jnp.stack([v[:, c * np_ : (c + 1) * np_, :] for c in range(3)], axis=-1)
+    hr = _mlp_block(s, mlp_weights_from_flax(ro["mlp"]))  # (B, Np, 2)
+    v_out = jnp.einsum("bnfc,fg->bngc", v3, ro["V"]["kernel"])
+    out = hr[..., 1:2][..., None][:, :, 0] * v_out[:, :, 0, :]
+    return out[:, :n].astype(x.dtype)

@@ -853,6 +853,7 @@ def sample_molecular_sde(
     n_steps: int = 100,
     n_save: int = 2,
     compute_dtype=None,
+    forward_impl: str = "dense",
 ):
     """Batched Euler–Maruyama transport (no dlogp); noise is COM-projected
     to stay on the zero-COM manifold the GNN was trained on.
@@ -861,12 +862,33 @@ def sample_molecular_sde(
     per step (one (C, N, 3) -> (C, N, 3) call) rather than a vmap of
     per-chain closures — one big batched graph per step keeps the MLP rows
     at C*N^2 and avoids per-chain RNG key trees. Returns (C, n_save, N, 3).
+
+    ``forward_impl="pair_kernel"`` routes the drift through the fused
+    pair-layer Pallas kernel (ops/pair_layer_kernel.py): every pair-grid
+    intermediate stays in VMEM, pair geometry + positional encodings are
+    recomputed in-kernel — the HBM-traffic cut for this no-autodiff path
+    (f32 only; incompatible with ``compute_dtype``).
     """
     from ti_tpu.models.cpainn_dense import dense_velocity_fn
 
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
-    drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
+    if forward_impl == "pair_kernel":
+        if compute_dtype is not None:
+            raise ValueError(
+                "forward_impl='pair_kernel' is f32-only; drop compute_dtype"
+            )
+        from ti_tpu.ops.pair_layer_kernel import apply_dense_pair_kernel
+
+        def drift(xs, t, conds):
+            tb = jnp.broadcast_to(jnp.asarray(t), (xs.shape[0],))
+            return apply_dense_pair_kernel(
+                model, params, xs, tb, conds, template.atom_ids, template.edges
+            )
+    elif forward_impl == "dense":
+        drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
+    else:
+        raise ValueError(f"unknown forward_impl {forward_impl!r}")
     g = g_fn if callable(g_fn) else (lambda t, _g=float(g_fn): jnp.asarray(_g, jnp.float32))
     dt = 1.0 / n_steps
     sqrt_dt = float(np.sqrt(dt))
