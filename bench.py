@@ -279,40 +279,82 @@ def main(quick: bool = False):
         file=sys.stderr,
     )
 
-    # --- context: SDE (Euler–Maruyama, no dlogp) chains/sec ---
+    # --- SDE (Euler–Maruyama, no dlogp): the north-star surface ---
+    # Config from the round-3 chains×dtype scan (scripts/sde_scan.py,
+    # BASELINE.md SDE rows): 4096 chains + bf16_agg is the per-chip sweet
+    # spot (141.5 measured; f32@2048 was the round-2 context line at
+    # ~112-117). Marginal qualification on the trained production oracle
+    # (validate_mdqm9_physics --reuse --sde_g): g<=0.1 holds the ODE
+    # route's trained-field KS floor (0.23-0.29 vs ODE 0.247); g>=0.2
+    # degrades. The fused pair-layer kernel (forward_impl='pair_kernel')
+    # is tried as well and the best rate is reported.
+    sde_rate, sde_ref_rate = 0.0, 0.0
+    sde_steps = 25 if quick else 100
     try:
         from ti_tpu.sampling.drivers import sample_molecular_sde
 
-        if quick:
-            raise RuntimeError("skipped in quick mode")
-        c_sde = 2048
+        c_sde = 512 if quick else 4096
         x0, temps = make_batch(c_sde)
-        out = sample_molecular_sde(
-            model, params, template, x0, temps, key, g_fn=0.1,
-            n_steps=25 if quick else 100,
+
+        def timed_sde(impl, cd):
+            out = sample_molecular_sde(
+                model, params, template, x0, temps, key, g_fn=0.1,
+                n_steps=sde_steps, compute_dtype=cd, forward_impl=impl,
+            )
+            float(jnp.sum(out))
+            best = 0.0
+            for i in range(2 if quick else 3):
+                t0 = time.perf_counter()
+                out = sample_molecular_sde(
+                    model, params, template, x0, temps,
+                    jax.random.fold_in(key, 9 + i), g_fn=0.1,
+                    n_steps=sde_steps, compute_dtype=cd, forward_impl=impl,
+                )
+                float(jnp.sum(out))
+                best = max(best, c_sde / (time.perf_counter() - t0))
+            return best
+
+        sde_rate = timed_sde("dense", "bf16_agg")
+        print(f"[bench] SDE dense bf16_agg: {sde_rate:.1f} samples/s",
+              file=sys.stderr)
+        try:
+            pk_rate = timed_sde("pair_kernel", None)
+            print(f"[bench] SDE pair_kernel f32: {pk_rate:.1f} samples/s",
+                  file=sys.stderr)
+            sde_rate = max(sde_rate, pk_rate)
+        except Exception as e:
+            print(f"[bench] SDE pair_kernel unavailable: {e}", file=sys.stderr)
+
+        # reference shape for the SDE: the reference would run its per-edge
+        # forward per Euler step at batch 12 (same priced-step convention
+        # as the dlogp denominator; 100 steps)
+        fwd_probe = make_ode_sampler(
+            v_fn_of_edge, solver="euler", n_steps=probe_evals, n_save=2,
+            return_dlogp=False, steps_per_dispatch=64,
         )
-        float(jnp.sum(out))
-        t0 = time.perf_counter()
-        out = sample_molecular_sde(
-            model, params, template, x0, temps, jax.random.fold_in(key, 9),
-            g_fn=0.1, n_steps=25 if quick else 100,
+        fwd_rate, _ = timed(fwd_probe, 12, 1)
+        t_fwd = 1.0 / (fwd_rate / 12) / probe_evals
+        sde_ref_rate = 12.0 / (sde_steps * t_fwd)  # same step count as ours
+        print(
+            f"[bench] SDE reference-shape: {t_fwd*1e3:.2f} ms/fwd @ batch 12 "
+            f"-> {sde_ref_rate:.3f} samples/s at {sde_steps} steps "
+            f"({sde_rate / max(sde_ref_rate, 1e-9):.1f}x)",
+            file=sys.stderr,
         )
-        float(jnp.sum(out))
-        sde_rate = c_sde / (time.perf_counter() - t0)
-        print(f"[bench] SDE (no dlogp): {sde_rate:.1f} samples/s", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"[bench] SDE path failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "mdqm9_ambient_transport_with_dlogp_samples_per_sec_per_chip",
-                "value": round(opt_rate, 4),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(opt_rate / ref_rate, 4),
-            }
-        )
-    )
+    out = {
+        "metric": "mdqm9_ambient_transport_with_dlogp_samples_per_sec_per_chip",
+        "value": round(opt_rate, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(opt_rate / ref_rate, 4),
+    }
+    if sde_rate:
+        out["sde_samples_per_sec"] = round(sde_rate, 4)
+        if sde_ref_rate:
+            out["sde_vs_baseline"] = round(sde_rate / sde_ref_rate, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -79,6 +79,15 @@ def main(argv):
                     help="share the stochastic-divergence probes across chains "
                          "(common random numbers: the common component of the "
                          "dlogp noise cancels in self-normalized weights)")
+    ap.add_argument("--probe_sweep", default=None,
+                    help="comma list of mode:K:seed combos (mode = "
+                         "rademacher|orthogonal|exact) evaluated IN THIS "
+                         "PROCESS after the headline row, one JSON line "
+                         "each on stdout — batching a probe qualification "
+                         "sweep into one process pays the tunnel's "
+                         "backend-init stall once instead of per run "
+                         "(e.g. --probe_sweep "
+                         "rademacher:16:0,orthogonal:16:0,orthogonal:8:1)")
     ap.add_argument("--eval_seed", type=int, default=0,
                     help="PRNG seed for the transport evaluation (stochastic-"
                          "divergence probe draws): repeat runs at different "
@@ -198,21 +207,22 @@ def main(argv):
 
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
 
-    def transport(n_steps, quad, dtype_name="f32"):
+    def transport(n_steps, quad, dtype_name="f32", divergence=None,
+                  num_probes=None, probe_mode=None, seed=None):
         sampler = make_ode_sampler(
             v_fn_of_dtype(dtype_name), solver=args.solver, n_steps=n_steps, n_save=2,
-            return_dlogp=True, divergence=args.divergence,
-            num_probes=args.num_probes, steps_per_dispatch=16,
+            return_dlogp=True, divergence=divergence or args.divergence,
+            num_probes=num_probes or args.num_probes, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss", probe_crn=args.probe_crn,
-            probe_mode=args.probe_mode,
+            probe_mode=probe_mode or args.probe_mode,
         )
         bs = args.eval_batch or len(x0)
         xs, lps = [], []
         for i in range(0, len(x0), bs):
             sol = sampler(
                 jnp.asarray(x0[i : i + bs]), temps_v[i : i + bs],
-                jax.random.PRNGKey(args.eval_seed),
+                jax.random.PRNGKey(args.eval_seed if seed is None else seed),
             )
             xs.append(np.asarray(sol.xs[:, -1]))
             lps.append(np.asarray(sol.dlogp[:, -1]))
@@ -265,6 +275,32 @@ def main(argv):
             f"dlogp_rms_shift_{name}": float(np.sqrt(np.mean((dlogp_b - dlogp) ** 2))),
             f"x1_rms_shift_{name}": float(np.sqrt(np.mean((x1_b - x1) ** 2))),
         })
+
+    def oracle_row(x1_a, dlogp_a):
+        x1c_a = x1_a - x1_a.mean(1, keepdims=True)
+        e1_a = np.sum((x1c_a - p_eq) ** 2, axis=(1, 2)) / (2 * sigma(T1) ** 2)
+        phis_a = e1_a - e0 + dlogp_a
+        mx_a = (-phis_a).max()
+        dF_a = float(-(mx_a + np.log(np.mean(np.exp(-phis_a - mx_a)))))
+        w_a = np.exp(-phis_a - mx_a)
+        ess_a = float(np.square(w_a.sum()) / np.sum(np.square(w_a))) / len(x1_a)
+        return abs(dF_a - dF_exact), ess_a
+
+    if args.probe_sweep:
+        for combo in args.probe_sweep.split(","):
+            mode, k, seed = combo.split(":")
+            div = "exact" if mode == "exact" else "hutchinson"
+            x1_s, dlogp_s = transport(
+                args.eval_steps[0], args.quad_dlogp, headline_dtype,
+                divergence=div, num_probes=int(k),
+                probe_mode=mode if div == "hutchinson" else None,
+                seed=int(seed),
+            )
+            err_s, ess_s = oracle_row(x1_s, dlogp_s)
+            print(json.dumps({
+                "sweep_mode": mode, "K": int(k), "seed": int(seed),
+                "dF_abs_err": err_s, "ess_frac": ess_s,
+            }), flush=True)
 
     sde_report = {}
     if args.sde_g:
