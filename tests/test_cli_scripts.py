@@ -326,3 +326,30 @@ def test_probe_mode_study_cli(tmp_path):
     assert rows[("orthogonal", 9)]["rms_err"] < 1e-4  # exact at K = d
     assert rows[("rademacher", 9)]["rms_err"] > 1e-3  # iid draws are not
     assert ("orthogonal", 3) in rows and ("rademacher", 3) in rows
+
+
+@pytest.mark.slow
+def test_mdqm9_sample_sde_cli(mdqm9_workspace):
+    """SDE sampling CLI: trains a tiny ambient model, then transports the
+    test split with Euler-Maruyama (no dlogp) and writes the _sde artifact
+    family next to the ODE sampler's; the pair_kernel drift impl (interpret
+    mode is not reachable via CLI, so CPU runs the kernel lowered by the
+    interpreter only on TPU builds — here we use the dense impl)."""
+    tmp = mdqm9_workspace
+    common = [
+        "--traj_path", str(tmp / "trajs"), "--sdf_path", str(tmp),
+        "--model_save_path", str(tmp / "models"),
+        "--data_save_path", str(tmp / "out_sde"),
+        "--n_features", "8", "--score_layers", "1", "--batch_size", "8",
+        "--n_epochs", "1", "--n_steps", "4", "--solver_type", "rk4",
+        "--model_epoch", "0", "--model_save_name", "smoke_sde_model",
+        "--data_save_name", "smoke",
+    ]
+    run(["scripts/mdqm9_train_ambient.py", "--preset", "00031:300"] + common)
+    run(["scripts/mdqm9_sample_sde.py", "--preset", "00031:300"] + common
+        + ["--sde_g", "0.05"])
+    samples = np.load(tmp / "out_sde" / "samples_smoke_sde.npy")
+    x0 = np.load(tmp / "out_sde" / "initial_samples_smoke_sde.npy")
+    assert samples.ndim == 4 and samples.shape[0] == len(x0)
+    assert np.all(np.isfinite(samples))
+    assert not (tmp / "out_sde" / "dlogps_smoke_sde.npy").exists()

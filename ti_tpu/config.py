@@ -146,6 +146,12 @@ class MDQM9Config:
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
     dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)
+    # SDE (Euler–Maruyama, no dlogp) surface — scripts/mdqm9_sample_sde.py:
+    # noise scale (g <= 0.1 holds the ODE route's marginal KS floor on the
+    # trained oracle, BASELINE.md SDE rows) and drift implementation
+    # ("dense" | "pair_kernel" = the fused pair-layer Pallas kernel)
+    sde_g: float = 0.1
+    sde_forward_impl: str = "dense"
     shard: int = 0  # multi-host fan-out (parallel/fanout.py)
     num_shards: int = 1
     n_latent_samples: int = 10_000
