@@ -70,3 +70,51 @@ def test_pair_layer_kernel_rejects_cutoff():
                                 jnp.tile(jnp.array([700.0, 300.0]), (1, 1)),
                                 template.atom_ids, template.edges,
                                 interpret=True)
+
+
+def test_traj_drift_matches_default_sampler():
+    """make_ode_sampler(traj_drift=): the batched-trajectory segment path
+    reproduces the default vmap(v_fn) trajectory (same RK tableau), with
+    (a) the XLA dense drift exactly-ish and (b) the fused pair-layer
+    kernel (interpret) at kernel parity tolerance."""
+    from ti_tpu.models.cpainn_dense import dense_velocity_fn
+    from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+
+    mol = make_synthetic_molecule(n_atoms=5, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+    v_fn_of = molecular_v_fn_of(model, params, template)
+
+    kw = dict(solver="rk4", n_steps=8, n_save=2, return_dlogp=True,
+              divergence="exact", dlogp_quad_points=4, dlogp_quad="gauss",
+              steps_per_dispatch=4)
+    base = make_ode_sampler(v_fn_of, **kw)
+
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (3, 5, 3), jnp.float32)
+    xs = xs - xs.mean(axis=1, keepdims=True)
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+    key = jax.random.PRNGKey(2)
+    ref = base(xs, temps, key)
+
+    dense_drift = dense_velocity_fn(model, params, template)
+    out = make_ode_sampler(v_fn_of, traj_drift=dense_drift, **kw)(xs, temps, key)
+    np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.dlogp[:, -1]),
+                               np.asarray(ref.dlogp[:, -1]),
+                               rtol=1e-3, atol=1e-3)
+
+    def pk_drift(x, t, conds):
+        tb = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
+        return apply_dense_pair_kernel(model, params, x, tb, conds,
+                                       template.atom_ids, template.edges,
+                                       interpret=True)
+
+    out2 = make_ode_sampler(v_fn_of, traj_drift=pk_drift, **kw)(xs, temps, key)
+    np.testing.assert_allclose(np.asarray(out2.xs), np.asarray(ref.xs),
+                               rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(ValueError, match="segmented gauss"):
+        make_ode_sampler(v_fn_of, traj_drift=dense_drift, solver="rk4",
+                         n_steps=8, return_dlogp=True, divergence="exact")

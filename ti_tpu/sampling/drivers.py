@@ -75,12 +75,21 @@ def make_ode_sampler(
     probe_crn: bool = False,
     probe_mode: str = "rademacher",
     node_batch: Optional[int] = None,
+    traj_drift: Optional[Callable] = None,
 ):
     """Build a batched transport sampler.
 
     ``v_fn_of(cond) -> v(x, t)`` builds the per-chain velocity closure from
     per-chain conditioning (a pytree; e.g. (T0, T1) scalars). Returns
     ``sampler(x0s, conds, key) -> ODESolution`` batched over axis 0.
+
+    ``traj_drift`` (quadrature-decoupled gauss path with
+    ``steps_per_dispatch`` only): a BATCHED drift ``(xs, t, conds) -> vs``
+    used for the velocity-only TRAJECTORY segments in place of
+    vmap(v_fn_of(cond)) — the divergence nodes keep ``v_fn_of`` (they need
+    ``jax.linearize``, which a custom forward like the fused pair-layer
+    Pallas kernel does not support). Same RK tableau, so the trajectories
+    agree to fp reordering (tests/test_pair_layer_kernel.py).
 
     ``steps_per_dispatch`` bounds the number of integrator steps per DEVICE
     DISPATCH: the integration is resumed across multiple jitted calls (one
@@ -150,6 +159,14 @@ def make_ode_sampler(
                 file=sys.stderr,
             )
 
+    if traj_drift is not None and not (
+        dlogp_quad_points is not None and return_dlogp
+        and dlogp_quad == "gauss" and steps_per_dispatch is not None
+    ):
+        raise ValueError(
+            "traj_drift requires the segmented gauss quadrature-dlogp path "
+            "(dlogp_quad='gauss', dlogp_quad_points=, steps_per_dispatch=)"
+        )
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":
             raise ValueError("dlogp_quad_points requires a fixed-step solver")
@@ -160,7 +177,7 @@ def make_ode_sampler(
                 divergence=divergence, div_chunk=div_chunk,
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
                 div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
-                node_batch=node_batch,
+                node_batch=node_batch, traj_drift=traj_drift,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
@@ -371,6 +388,7 @@ def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
     probe_crn=False, probe_mode="rademacher", node_batch=None,
+    traj_drift=None,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -426,16 +444,46 @@ def _gauss_dlogp_sampler(
     m = min(m, steps_per_dispatch)
     n_stages = {"euler": 1, "heun": 2, "rk4": 4}[solver]
 
-    @jax.jit
-    def seg(x, conds, ta, tb):
-        def one(x0, cond):
-            sol = sample_ode(
-                v_fn_of(cond), x0, t0=ta, t1=tb, n_steps=m, n_save=2,
-                method=solver, return_dlogp=False,
-            )
-            return sol.xs[-1]
+    if traj_drift is not None:
+        # batched trajectory segments through the provided drift (e.g. the
+        # fused pair-layer kernel) — same explicit RK tableau as sample_ode
+        from ti_tpu.sampling.integrators import _tableau
 
-        return jax.vmap(one)(x, conds)
+        cc, aa, bb = _tableau(solver)
+
+        @jax.jit
+        def seg(x, conds, ta, tb):
+            dt = (tb - ta) / m
+
+            def step(xx, i):
+                t = ta + i * dt
+                ks = []
+                for si in range(len(bb)):
+                    yi = xx
+                    for sj in range(si):
+                        if aa[si][sj]:
+                            yi = yi + (dt * aa[si][sj]) * ks[sj]
+                    ks.append(traj_drift(yi, t + cc[si] * dt, conds))
+                out = xx
+                for si in range(len(bb)):
+                    out = out + (dt * bb[si]) * ks[si]
+                return out, None
+
+            x, _ = jax.lax.scan(step, x, jnp.arange(m, dtype=x.dtype))
+            return x
+
+    else:
+
+        @jax.jit
+        def seg(x, conds, ta, tb):
+            def one(x0, cond):
+                sol = sample_ode(
+                    v_fn_of(cond), x0, t0=ta, t1=tb, n_steps=m, n_save=2,
+                    method=solver, return_dlogp=False,
+                )
+                return sol.xs[-1]
+
+            return jax.vmap(one)(x, conds)
 
     @jax.jit
     def div_all(xs_nodes, conds, ts_nodes, key):
