@@ -316,6 +316,11 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
             dlogp_quad_points=8,
             divergence="hutchinson",
             num_probes=32 if large else 16,
+            # round-3 probe-mode study (BASELINE.md): at 00031 scale (d=57)
+            # orthogonal-16 holds the exact-divergence ESS floor on both
+            # seeds and the Haar-frame QR is measured free; at 10506 scale
+            # (d=87) orthogonal shows no benefit — rademacher stays
+            probe_mode="rademacher" if large else "orthogonal",
             compute_dtype="bf16_agg",
             steps_per_dispatch=25,
         )
