@@ -7,8 +7,9 @@ dlogp/divergence ODE, SURVEY.md §3.4), on the 00031-scale config
 
 value        = TPU-first path: fixed-step RK4-8 trajectory + the
                quadrature-decoupled dlogp (Gauss-Legendre over 8
-               divergence nodes, Hutchinson trace with 16 Rademacher
-               probes), bf16 mixed-precision compute (params f32, f32 MXU
+               divergence nodes, Hutchinson trace with 16 ORTHOGONAL
+               Haar-frame probes — round-3 adoption, QR measured free,
+               ESS at the exact floor), bf16 mixed-precision compute (params f32, f32 MXU
                accumulation — physics-qualified, see BASELINE.md),
                vmapped over a chain batch. Accuracy evidence, all on the
                TRAINED production-capacity 19-atom oracle field: GL-10
@@ -209,14 +210,20 @@ def main(quick: bool = False):
     # 57-lane trace (dF err 0.066 / ESS 17.1% vs 0.093 / 15.6%, probes
     # 16/24/32 all at the floor) for 2.4x throughput; the exact path is
     # measured below as context.
+    # Probe mode (round 3): ORTHOGONAL-16 — the Haar probe frame's QR is
+    # measured free at production lane counts and its ESS sits at the
+    # exact-divergence floor on both qualification seeds (21.8% vs
+    # rademacher-16's 21.0-21.4, exact 22.2 — BASELINE.md round-3 probe
+    # study; at 10506 scale orthogonal shows no benefit and rademacher-32
+    # stays that profile).
     opt_sampler = make_ode_sampler(
         v_fn_of, solver="rk4", n_steps=10 if quick else 8, n_save=2,
         return_dlogp=True, divergence="hutchinson", num_probes=16,
-        steps_per_dispatch=25,
+        probe_mode="orthogonal", steps_per_dispatch=25,
         dlogp_quad_points=4 if quick else 8, dlogp_quad="gauss",
     )
     opt_rate, opt_nfe = timed(opt_sampler, chains, reps)
-    print(f"[bench] optimized rk4+quad-dlogp (hutchinson-16): {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
+    print(f"[bench] optimized rk4+quad-dlogp (orthogonal-16): {opt_rate:.3f} samples/s (nfe={opt_nfe})", file=sys.stderr)
 
     # exact-divergence context line (the reference's estimator — all 3N
     # tangent lanes; the round-1/2a headline path)
