@@ -51,6 +51,12 @@ def main():
         "--dtypes", type=str, default="f32,bf16,bf16_agg",
         help=f"comma-separated subset of {sorted(_DTYPES)}",
     )
+    p.add_argument(
+        "--impls", type=str, default="dense",
+        help="comma-separated subset of {dense,pair_kernel}; pair_kernel "
+        "(the fused pair-layer Pallas kernel) is f32-only, so non-f32 "
+        "dtypes are skipped for it",
+    )
     args = p.parse_args()
 
     chain_list = [int(c) for c in args.chains.split(",")]
@@ -58,6 +64,10 @@ def main():
     unknown = [d for d in dtype_list if d not in _DTYPES]
     if unknown:
         p.error(f"unknown dtypes {unknown}; choose from {sorted(_DTYPES)}")
+    impl_list = args.impls.split(",")
+    unknown = [i for i in impl_list if i not in ("dense", "pair_kernel")]
+    if unknown:
+        p.error(f"unknown impls {unknown}; choose from ['dense', 'pair_kernel']")
 
     mol = make_synthetic_molecule(n_atoms=args.atoms, seed=0)
     template = graph_template(mol, t_cond=2)
@@ -81,39 +91,50 @@ def main():
         x0 = 0.1 * jax.random.normal(key, (chains, args.atoms, 3), jnp.float32)
         x0 = x0 - x0.mean(axis=1, keepdims=True)
         temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (chains, 1))
-        for dname in dtype_list:
-            cd = _DTYPES[dname]
+        for impl in impl_list:
+            for dname in dtype_list:
+                if impl == "pair_kernel" and dname != "f32":
+                    continue
+                cd = _DTYPES[dname]
+                tag = f"{dname}/{impl}" if len(impl_list) > 1 else dname
 
-            def run(k):
-                out = sample_molecular_sde(
-                    model, params, template, x0, temps, k,
-                    g_fn=args.g, n_steps=args.steps, compute_dtype=cd,
-                )
-                return float(jnp.sum(out))  # scalar readback fence
+                def run(k):
+                    out = sample_molecular_sde(
+                        model, params, template, x0, temps, k,
+                        g_fn=args.g, n_steps=args.steps, compute_dtype=cd,
+                        forward_impl=impl,
+                    )
+                    return float(jnp.sum(out))  # scalar readback fence
 
-            try:
-                t0 = time.perf_counter()
-                run(key)
-                print(
-                    f"  chains={chains} {dname}: warmup "
-                    f"{time.perf_counter() - t0:.1f}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                best = 0.0
-                for i in range(args.reps):
+                try:
                     t0 = time.perf_counter()
-                    run(jax.random.fold_in(key, i))
-                    best = max(best, chains / (time.perf_counter() - t0))
-            except Exception as e:  # OOM at large chain counts is a data point
+                    run(key)
+                    print(
+                        f"  chains={chains} {tag}: warmup "
+                        f"{time.perf_counter() - t0:.1f}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    best = 0.0
+                    for i in range(args.reps):
+                        t0 = time.perf_counter()
+                        run(jax.random.fold_in(key, i))
+                        best = max(best, chains / (time.perf_counter() - t0))
+                except Exception as e:  # OOM at large chain counts is a data point
+                    print(
+                        f"chains={chains:5d} {tag:14s}: FAILED "
+                        f"({type(e).__name__}: {str(e)[:120]})",
+                        flush=True,
+                    )
+                    continue
+                results.append(
+                    {"chains": chains, "dtype": dname, "impl": impl,
+                     "samples_per_s": best}
+                )
                 print(
-                    f"chains={chains:5d} {dname:9s}: FAILED "
-                    f"({type(e).__name__}: {str(e)[:120]})",
+                    f"chains={chains:5d} {tag:14s}: {best:9.1f} samples/s",
                     flush=True,
                 )
-                continue
-            results.append({"chains": chains, "dtype": dname, "samples_per_s": best})
-            print(f"chains={chains:5d} {dname:9s}: {best:9.1f} samples/s", flush=True)
 
     if results:
         top = max(results, key=lambda r: r["samples_per_s"])
