@@ -95,18 +95,9 @@ def _oracle_study(args):
     if args.reuse and os.path.exists(ckpt):
         print(f"reusing the trained oracle at {ckpt}", file=sys.stderr, flush=True)
         model = build_ambient_model(cfg)
-        try:
-            params = train_common.load_checkpoint(ckpt)["params"]
-        except Exception as e:
-            # cross-backend restore (a chip-saved oracle reopened under
-            # JAX_PLATFORMS=cpu — the documented tunnel-stall pivot) needs
-            # an item template for the restore shardings, same as the
-            # --params path below
-            print(f"[probe_mode_study] bare --reuse restore failed "
-                  f"({type(e).__name__}); retrying with a like= template",
-                  file=sys.stderr, flush=True)
-            like = {"params": model.init(jax.random.PRNGKey(0), dataset.template)}
-            params = train_common.load_checkpoint(ckpt, like=like)["params"]
+        # cross-backend restores (a chip-saved oracle reopened under
+        # JAX_PLATFORMS=cpu) are handled inside load_checkpoint
+        params = train_common.load_checkpoint(ckpt)["params"]
         res = {"model": model, "params": params,
                "template": dataset.template}
     else:
@@ -213,35 +204,12 @@ def main(argv=None):
     if args.params:
         from ti_tpu.train import common as train_common
 
-        try:
-            # same-backend restore: read the recorded architecture (the
-            # validate_mdqm9_physics 'arch' dict) and honor it over the CLI
-            # flags — temp_length changes no param shapes, so a silent
-            # mismatch would garble the temperature conditioning
-            ckpt = train_common.load_checkpoint(args.params)
-        except Exception as e:
-            # cross-backend restore (e.g. a chip-saved oracle opened under
-            # JAX_PLATFORMS=cpu) needs an item template for shardings — the
-            # CLI flags must then describe the checkpoint; the arch check
-            # below catches a lie
-            print(f"[probe_mode_study] bare restore failed ({type(e).__name__}); "
-                  "retrying with a template from the CLI flags",
-                  file=sys.stderr, flush=True)
-            mol_t = make_synthetic_molecule(n_atoms=atoms, seed=0)
-            tmpl = graph_template(mol_t, t_cond=2)
-            model_t = CPaiNN(n_features=features, score_layers=layers,
-                             temp_length=temp_length, conditioning="ambient")
-            like = {
-                "params": model_t.init(jax.random.PRNGKey(0), tmpl),
-                "arch": {"atoms": 0, "features": 0, "layers": 0,
-                         "temp_length": 0.0},
-            }
-            try:
-                ckpt = train_common.load_checkpoint(args.params, like=like)
-            except Exception:
-                ckpt = train_common.load_checkpoint(
-                    args.params, like={"params": like["params"]}
-                )
+        # read the recorded architecture (the validate_mdqm9_physics 'arch'
+        # dict) and honor it over the CLI flags — temp_length changes no
+        # param shapes, so a silent mismatch would garble the temperature
+        # conditioning. Cross-backend restores (a chip-saved oracle opened
+        # under JAX_PLATFORMS=cpu) are handled inside load_checkpoint.
+        ckpt = train_common.load_checkpoint(args.params)
         arch = ckpt.get("arch") if isinstance(ckpt, dict) else None
         if arch is not None:
             atoms = int(np.asarray(arch["atoms"]))

@@ -1,7 +1,8 @@
 """Microbenchmark: SDE (Euler-Maruyama) sampling throughput, chains x dtype.
 
-The SDE path (reference mdqm9/sample_ambient.py's ODE=False branch /
-SURVEY.md north-star: "MDQM9 ambient SDE sampling") has no dlogp, so its
+The SDE path (SURVEY.md north-star: "MDQM9 ambient SDE sampling"; the
+reference has NO SDE sampler — its rollout is ODE-through-torchdiffeq
+only, mdqm9/thermo/ambient/integrators.py:8-68) has no dlogp, so its
 cost is n_steps batched dense-pair forwards — throughput scales with the
 chain batch until HBM saturates. This scan finds the per-chip sweet spot
 over (chains, compute_dtype) at the bench config.

@@ -114,13 +114,8 @@ def main(argv):
     if args.reuse and os.path.exists(params_path):
         print(f"reusing trained params from {params_path}", file=sys.stderr)
         model = build_latent_model(cfg)
-        try:
-            params = train_common.load_checkpoint(params_path)["params"]
-        except Exception:  # cross-backend restore needs a template
-            import jax
-
-            like = {"params": model.init(jax.random.PRNGKey(0), ds.template)}
-            params = train_common.load_checkpoint(params_path, like=like)["params"]
+        # cross-backend restores are handled inside load_checkpoint
+        params = train_common.load_checkpoint(params_path)["params"]
         res = {"model": model, "params": params, "template": ds.template}
     else:
         res = train_latent(cfg, ds)

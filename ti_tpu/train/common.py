@@ -191,16 +191,56 @@ def save_checkpoint(path: str, payload) -> None:
 
 
 def load_checkpoint(path: str, like=None):
+    """Restore an orbax checkpoint; survives cross-backend restores.
+
+    A checkpoint saved on one backend and reopened on another (chip-saved
+    oracle under JAX_PLATFORMS=cpu — the documented tunnel-stall pivot)
+    fails the bare restore because the saved per-leaf shardings name
+    unavailable devices ("sharding ... Got None"). With ``like`` the
+    restore shardings come from the template; WITHOUT one, the fallback
+    rebuilds restore args from the checkpoint's own metadata and restores
+    arrays as host numpy (device placement happens on first use), so every
+    call site survives a backend pivot without carrying a model template.
+    """
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if like is not None:
         # item= alone only gives the tree structure; the per-leaf restore
-        # shardings come from restore_args. Without them a checkpoint saved
-        # on another backend (chip-saved oracle opened under
-        # JAX_PLATFORMS=cpu) fails with "sharding ... Got None".
+        # shardings come from restore_args.
         restore_args = ocp.checkpoint_utils.construct_restore_args(like)
-        return ckptr.restore(
-            os.path.abspath(path), item=like, restore_args=restore_args
+        return ckptr.restore(path, item=like, restore_args=restore_args)
+    try:
+        return ckptr.restore(path)
+    except Exception as e:
+        import sys
+
+        print(
+            f"[ti_tpu] bare checkpoint restore of {path} failed "
+            f"({type(e).__name__}); retrying as a cross-backend numpy "
+            f"restore",
+            file=sys.stderr,
         )
-    return ckptr.restore(os.path.abspath(path))
+        return _restore_cross_backend(ckptr, path)
+
+
+def _restore_cross_backend(ckptr, path: str):
+    """Device-agnostic restore: arrays come back as host numpy, scalars and
+    strings keep their types. Restore args are built from the checkpoint's
+    own metadata tree, so no model template is needed."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from orbax.checkpoint.metadata import value as _vmeta
+
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+
+    def to_args(m):
+        if isinstance(m, _vmeta.ArrayMetadata) and not isinstance(
+            m, _vmeta.ScalarMetadata
+        ):
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+        return ocp.RestoreArgs()
+
+    return ckptr.restore(path, restore_args=jax.tree.map(to_args, meta_tree))
