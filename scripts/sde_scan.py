@@ -55,8 +55,8 @@ def main():
     p.add_argument(
         "--impls", type=str, default="dense",
         help="comma-separated subset of {dense,pair_kernel}; pair_kernel "
-        "(the fused pair-layer Pallas kernel) is f32-only, so non-f32 "
-        "dtypes are skipped for it",
+        "(the fused pair-layer Pallas kernel) supports f32 and bf16_agg "
+        "(the bf16 VMEM profile), so plain-bf16 is skipped for it",
     )
     args = p.parse_args()
 
@@ -94,7 +94,7 @@ def main():
         temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (chains, 1))
         for impl in impl_list:
             for dname in dtype_list:
-                if impl == "pair_kernel" and dname != "f32":
+                if impl == "pair_kernel" and dname not in ("f32", "bf16_agg"):
                     continue
                 cd = _DTYPES[dname]
                 tag = f"{dname}/{impl}" if len(impl_list) > 1 else dname

@@ -64,6 +64,15 @@ def main(argv):
                          "(solver-order study on the trained field)")
     ap.add_argument("--quad_dlogp", action="store_true",
                     help="use the bench's Gauss-Legendre dlogp path")
+    ap.add_argument("--traj_impl",
+                    choices=["default", "pair_kernel", "pair_kernel_bf16"],
+                    default="default",
+                    help="trajectory-segment drift for the gauss path "
+                         "(requires --quad_dlogp): the fused pair-layer "
+                         "Pallas kernel in f32 or the bf16 VMEM profile "
+                         "drives the velocity-only trajectory while the "
+                         "divergence nodes keep the XLA forward — the "
+                         "qualification knob for cfg.traj_forward_impl")
     ap.add_argument("--gl_points", type=int, default=10)
     ap.add_argument("--divergence", choices=["exact", "hutchinson", "hutchpp"], default="exact",
                     help="divergence estimator for the dlogp integrand "
@@ -207,6 +216,19 @@ def main(argv):
 
     temps_v = jnp.tile(jnp.array([float(T0), float(T1)]), (len(x0), 1))
 
+    traj_drift = None
+    if args.traj_impl != "default":
+        if not args.quad_dlogp:
+            raise SystemExit("--traj_impl requires --quad_dlogp (the gauss "
+                             "quadrature-dlogp path, see make_ode_sampler)")
+        from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
+
+        traj_drift = pair_kernel_drift(
+            res["model"], res["params"], res["template"],
+            compute_dtype="bf16_agg" if args.traj_impl.endswith("bf16") else None,
+            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+        )
+
     def transport(n_steps, quad, dtype_name="f32", divergence=None,
                   num_probes=None, probe_mode=None, seed=None):
         sampler = make_ode_sampler(
@@ -216,6 +238,7 @@ def main(argv):
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss", probe_crn=args.probe_crn,
             probe_mode=probe_mode or args.probe_mode,
+            traj_drift=traj_drift if quad else None,
         )
         bs = args.eval_batch or len(x0)
         xs, lps = [], []
@@ -352,6 +375,7 @@ def main(argv):
         "eval_steps": args.eval_steps[0],
         "solver": args.solver,
         "quad_dlogp": bool(args.quad_dlogp),
+        "traj_impl": args.traj_impl,
         "divergence": args.divergence,
         "compute_dtype": headline_dtype,
         "train_temps": train_T,

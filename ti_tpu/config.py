@@ -146,6 +146,12 @@ class MDQM9Config:
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes
     dlogp_quad: str = "simpson"  # or "gauss" (Gauss-Legendre, nodes/save interval)
+    # trajectory-segment drift of the segmented gauss quadrature-dlogp
+    # path: "default" = vmap(v_fn); "pair_kernel" / "pair_kernel_bf16" =
+    # the fused pair-layer Pallas kernel (f32 / bf16-VMEM profile) drives
+    # the velocity-only trajectory while the divergence nodes keep the
+    # differentiable XLA forward (drivers._traj_drift_of)
+    traj_forward_impl: str = "default"
     # SDE (Euler–Maruyama, no dlogp) surface — scripts/mdqm9_sample_sde.py:
     # noise scale (g <= 0.1 holds the ODE route's marginal KS floor on the
     # trained oracle, BASELINE.md SDE rows) and drift implementation

@@ -45,7 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ti_tpu.ops.pallas_kernels import MLPWeights, _mlp_block, mlp_weights_from_flax
+from ti_tpu.ops.pallas_kernels import (
+    MLPWeights,
+    _ln_silu_block_agg,
+    _mlp_block,
+    mlp_weights_from_flax,
+)
 
 Array = jax.Array
 
@@ -54,11 +59,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _mlp_block_bf16_kernel(x, w: MLPWeights):
+    """_mlp_block's bf16_out ("bf16_agg") profile with EXPLICIT f32 dot
+    accumulation: Mosaic rejects bf16-output matmuls in-kernel ("Expected
+    matmul acc to be 32-bit"), so each dot accumulates f32 and rounds ONCE
+    to bf16 — numerically identical to the XLA path's bf16 dot outputs
+    (the MXU accumulates f32 internally there too). LN statistics stay f32
+    (_ln_silu_block_agg)."""
+    cd = jnp.bfloat16
+
+    def dot(a, b):
+        return jax.lax.dot(
+            a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32
+        ).astype(cd)
+
+    h = dot(x, w.w1) + w.b1.astype(cd)
+    h = _ln_silu_block_agg(h, w.ln1_scale, w.ln1_bias)
+    h = dot(h, w.w2) + w.b2.astype(cd)
+    h = _ln_silu_block_agg(h, w.ln2_scale, w.ln2_bias)
+    return dot(h, w.w3) + w.b3.astype(cd)
+
+
 def _pair_layer_kernel(
     n: int,
     f: int,
     length_scale: float,
-    x_ref,      # (1, Np, 128)  positions in lanes 0..2
+    bf16: bool,
+    x_ref,      # (1, Np, 128)  positions in lanes 0..2 (always f32)
     s_ref,      # (1, Np, F)    invariant node features
     v_ref,      # (1, 3*Np, F)  equivariant features, component-major [x;y;z]
     e_ref,      # (1, Pp, F)    pair features, row-major p = i*N + j
@@ -67,6 +94,12 @@ def _pair_layer_kernel(
     phi = MLPWeights(*(r[:] for r in refs[:10]))
     w = MLPWeights(*(r[:] for r in refs[10:20]))
     dv_ref, ds_ref, e_out_ref = refs[20], refs[21], refs[22]
+    # bf16 VMEM profile: pair-grid tensors + dot matrices live in bf16,
+    # dots accumulate f32 and LN statistics run f32 (the same "bf16_agg"
+    # semantics the dense XLA path qualified) — halves the VMEM working
+    # set, which is what gates the kernel at 10506 capacity (F=256 x 29
+    # atoms). Geometry (r, dist) and the aggregated outputs stay f32.
+    mlp = _mlp_block_bf16_kernel if bf16 else _mlp_block
 
     np_, pp = x_ref.shape[1], e_ref.shape[1]
     x = x_ref[0]          # (Np, 128)
@@ -112,7 +145,7 @@ def _pair_layer_kernel(
 
     # in_features = [s_src | e]; s_src = tile(s) in row-major pair order
     s_src = pad_rows(tile_rows(s))
-    h = _mlp_block(jnp.concatenate([s_src, e], axis=-1), phi) * _mlp_block(pe, w)
+    h = mlp(jnp.concatenate([s_src, e], axis=-1), phi) * mlp(pe, w)
     h = h * mask                                      # (Pp, 5F)
     gates = h[:, 0 * f : 1 * f]
     scale_dir = h[:, 1 * f : 2 * f]
@@ -135,7 +168,9 @@ def _pair_layer_kernel(
     for c in range(3):
         vc = v[c * np_ : (c + 1) * np_][:n]           # (N, F)
         vc_src = pad_rows(tile_rows(vc))
-        dir_c = r[:, c : c + 1] * inv                 # (Pp, 1)
+        # cast the f32 geometry factor into the working dtype so the
+        # pair-grid products stay bf16 under the bf16 profile
+        dir_c = (r[:, c : c + 1] * inv).astype(s.dtype)  # (Pp, 1)
         out_cols.append(agg(gates * vc_src + scale_dir * dir_c))
         t_cg.append(agg(cg * dir_c))                  # (Np, F)
 
@@ -154,8 +189,8 @@ def _pair_layer_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build_pair_layer(n: int, f: int, np_: int, pp: int, length_scale: float,
-                      interpret: bool):
-    kern = functools.partial(_pair_layer_kernel, n, f, length_scale)
+                      interpret: bool, bf16: bool = False):
+    kern = functools.partial(_pair_layer_kernel, n, f, length_scale, bf16)
 
     def chain_spec(rows, width):
         return pl.BlockSpec((1, rows, width), lambda b: (b, 0, 0),
@@ -188,9 +223,11 @@ def _build_pair_layer(n: int, f: int, np_: int, pp: int, length_scale: float,
                 chain_spec(pp, f),         # e_out
             ],
             out_shape=[
+                # dv/ds are aggregated in f32 (dot accumulation); e_out
+                # follows the carried pair-feature dtype (bf16 profile)
                 jax.ShapeDtypeStruct((b, np_, 3 * f), x_pad.dtype),
                 jax.ShapeDtypeStruct((b, np_, f), x_pad.dtype),
-                jax.ShapeDtypeStruct((b, pp, f), x_pad.dtype),
+                jax.ShapeDtypeStruct((b, pp, f), e_pad.dtype),
             ],
             interpret=interpret,
         )(x_pad, s_pad, v_pad, e_pad, *phi2, *w2)
@@ -208,12 +245,21 @@ def apply_dense_pair_kernel(
     edges,
     *,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> Array:
     """Batched velocity field with the fused pair-layer kernel.
 
-    Same math as ``apply_dense`` (f32, complete graph); parity asserted in
+    Same math as ``apply_dense`` (complete graph); parity asserted in
     tests/test_pair_layer_kernel.py. Inference-only (SDE / no-dlogp
-    rollouts): no autodiff rules cross the kernel.
+    rollouts / quadrature-dlogp TRAJECTORY segments via
+    ``pair_kernel_drift``): no autodiff rules cross the kernel.
+
+    ``compute_dtype="bf16_agg"`` is the bf16 VMEM profile: pair-grid
+    tensors, dot matrices and the carried e features live in bf16 (f32 dot
+    accumulation + f32 LN statistics — the same semantics the dense XLA
+    bf16_agg path physics-qualified), halving the VMEM working set so the
+    kernel compiles at 10506 capacity (F=256 x 29 atoms). Positions,
+    aggregation outputs and the returned velocity stay f32.
     """
     import numpy as np
 
@@ -225,11 +271,32 @@ def apply_dense_pair_kernel(
             "apply_dense_pair_kernel supports the complete graph only "
             "(cutoff=None); use apply_dense for finite-cutoff models"
         )
+    if compute_dtype not in (None, "bf16_agg"):
+        raise ValueError(
+            "apply_dense_pair_kernel compute_dtype must be None (f32) or "
+            f"'bf16_agg', got {compute_dtype!r}"
+        )
+    bf16 = compute_dtype == "bf16_agg"
+    cd = jnp.bfloat16 if bf16 else None
+    mlp_kw = dict(compute_dtype=cd, bf16_out=True) if bf16 else {}
+
+    def c(a):  # cast into the working dtype (no-op in full precision)
+        return a.astype(cd) if bf16 else a
+
+    def kernel_weights(subtree):
+        # only the dot matrices go bf16 (the VMEM bulk); biases and LN
+        # params stay f32 — _mlp_block casts biases at the add, exactly
+        # like the dense bf16_agg path
+        w = mlp_weights_from_flax(subtree)
+        return w._replace(w1=c(w.w1), w2=c(w.w2), w3=c(w.w3))
+
     p = params["params"]
     f = model.n_features
     b, n, _ = x.shape
-    np_ = _round_up(n, 8)
-    pp = _round_up(n * n, 8)
+    # bf16 tiles are (16, 128): round the padded row counts up to 16
+    align = 16 if bf16 else 8
+    np_ = _round_up(n, align)
+    pp = _round_up(n * n, align)
 
     # node embeddings + combine MLP (XLA: O(B·N·F) rows, cheap)
     feats = [jnp.broadcast_to(p["atom_embed"]["embedding"][atom_ids], (b, n, f))]
@@ -243,52 +310,88 @@ def apply_dense_pair_kernel(
     t_enc = positional_encoding(t, f, model.time_length)
     feats.append(jnp.broadcast_to(t_enc[:, None, :], (b, n, f)))
     s = _mlp_block(
-        jnp.concatenate(feats, axis=-1), mlp_weights_from_flax(p["combine"])
+        jnp.concatenate(feats, axis=-1), mlp_weights_from_flax(p["combine"]),
+        **mlp_kw,
     )  # (B, N, F)
 
     # pair features in flat row-major (i·N + j) layout, kept flat throughout
     etype = dense_edge_type_matrix(edges)  # (N, N), [dst, src]
     etype_flat = jnp.asarray(np.asarray(etype).reshape(n * n))
-    e = jnp.broadcast_to(p["edge_embed"]["embedding"][etype_flat], (b, n * n, f))
+    e = jnp.broadcast_to(c(p["edge_embed"]["embedding"][etype_flat]), (b, n * n, f))
     e = jnp.pad(e, ((0, 0), (0, pp - n * n), (0, 0)))
 
     x_pad = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 128 - 3)))
-    v = jnp.zeros((b, 3 * np_, f), dtype=x.dtype)  # component-major [x; y; z]
-    s = jnp.pad(s, ((0, 0), (0, np_ - n), (0, 0)))
+    v = jnp.zeros((b, 3 * np_, f), dtype=cd or x.dtype)  # component-major [x; y; z]
+    s = jnp.pad(c(s), ((0, 0), (0, np_ - n), (0, 0)))
 
-    layer_call = _build_pair_layer(n, f, np_, pp, float(model.length_scale), interpret)
+    layer_call = _build_pair_layer(
+        n, f, np_, pp, float(model.length_scale), interpret, bf16
+    )
 
     for layer in range(model.score_layers):
         mp = p[f"message_{layer}"]
         dv, ds, e = layer_call(
-            x_pad, s, v, e,
-            mlp_weights_from_flax(mp["phi"]), mlp_weights_from_flax(mp["w"]),
+            x_pad, s, v, e, kernel_weights(mp["phi"]), kernel_weights(mp["w"]),
         )
-        s = s + ds
+        s = c(s + ds)
         # dv lanes [x | y | z] -> component-major rows
-        v = v + jnp.concatenate(
-            [dv[:, :, c * f : (c + 1) * f] for c in range(3)], axis=1
+        v = c(
+            v
+            + jnp.concatenate(
+                [dv[:, :, cc * f : (cc + 1) * f] for cc in range(3)], axis=1
+            )
         )
 
-        # node update (XLA; reference Update, cpainn.py:318-376)
+        # node update (XLA; reference Update, cpainn.py:318-376) — O(N·F)
+        # rows, bf16 operands / f32 norms under the bf16 profile (the
+        # apply_dense bf16_agg conventions, models/cpainn_dense.py:171-178)
         up = p[f"update_{layer}"]
         v3 = jnp.stack(
-            [v[:, c * np_ : (c + 1) * np_, :] for c in range(3)], axis=-1
+            [v[:, cc * np_ : (cc + 1) * np_, :] for cc in range(3)], axis=-1
         )  # (B, Np, F, 3)
-        uv = jnp.einsum("bnfc,fg->bngc", v3, up["u"]["kernel"])
-        vv = jnp.einsum("bnfc,fg->bngc", v3, up["v"]["kernel"])
-        vv_norm = jnp.linalg.norm(vv, axis=-1)
+        uv = jnp.einsum("bnfc,fg->bngc", v3, c(up["u"]["kernel"]))
+        vv = jnp.einsum("bnfc,fg->bngc", v3, c(up["v"]["kernel"]))
+        vv_norm = jnp.linalg.norm(vv.astype(jnp.float32), axis=-1)
         hu = _mlp_block(
-            jnp.concatenate([vv_norm, s], axis=-1), mlp_weights_from_flax(up["mlp"])
+            jnp.concatenate([c(vv_norm), s], axis=-1),
+            mlp_weights_from_flax(up["mlp"]), **mlp_kw,
         )
         g_u, scale_sq, add_inv = jnp.split(hu, 3, axis=-1)
-        v3 = v3 + g_u[..., None] * uv
-        s = s + vv_norm**2 * scale_sq + add_inv
-        v = jnp.concatenate([v3[..., c] for c in range(3)], axis=1)
+        v3 = v3 + c(g_u)[..., None] * uv
+        s = c(s + c(vv_norm**2 * scale_sq.astype(jnp.float32)
+                    + add_inv.astype(jnp.float32)))
+        v = jnp.concatenate([v3[..., cc] for cc in range(3)], axis=1)
 
     ro = p["readout"]
-    v3 = jnp.stack([v[:, c * np_ : (c + 1) * np_, :] for c in range(3)], axis=-1)
-    hr = _mlp_block(s, mlp_weights_from_flax(ro["mlp"]))  # (B, Np, 2)
-    v_out = jnp.einsum("bnfc,fg->bngc", v3, ro["V"]["kernel"])
-    out = hr[..., 1:2][..., None][:, :, 0] * v_out[:, :, 0, :]
+    v3 = jnp.stack([v[:, cc * np_ : (cc + 1) * np_, :] for cc in range(3)], axis=-1)
+    hr = _mlp_block(s, mlp_weights_from_flax(ro["mlp"]), **mlp_kw)  # (B, Np, 2)
+    v_out = jnp.einsum("bnfc,fg->bngc", v3, c(ro["V"]["kernel"]))
+    out = hr[..., 1:2][..., None][:, :, 0].astype(jnp.float32) * v_out[
+        :, :, 0, :
+    ].astype(jnp.float32)
     return out[:, :n].astype(x.dtype)
+
+
+def pair_kernel_drift(
+    model,
+    params,
+    template,
+    *,
+    compute_dtype=None,
+    interpret: bool = False,
+):
+    """Batched drift ``(xs (B,N,3), t, temps (B,K)) -> (B,N,3)`` through the
+    fused pair-layer kernel — the production builder for the SDE drift and
+    for ``make_ode_sampler(traj_drift=...)`` (the velocity-only trajectory
+    segments of the Gauss quadrature-dlogp path; the divergence nodes keep
+    the differentiable XLA forward). Same signature as
+    ``cpainn_dense.dense_velocity_fn``."""
+
+    def drift(xs, t, temps):
+        tb = jnp.broadcast_to(jnp.asarray(t), (xs.shape[0],))
+        return apply_dense_pair_kernel(
+            model, params, xs, tb, temps, template.atom_ids, template.edges,
+            interpret=interpret, compute_dtype=compute_dtype,
+        )
+
+    return drift

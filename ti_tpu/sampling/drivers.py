@@ -730,6 +730,45 @@ def molecular_v_fn_of(
     return v_fn_of
 
 
+def _traj_drift_of(cfg, model, params, template):
+    """Batched trajectory drift for ``make_ode_sampler(traj_drift=)`` from
+    ``cfg.traj_forward_impl``.
+
+    "default" (or empty) -> None: trajectory segments run vmap(v_fn).
+    "pair_kernel" / "pair_kernel_bf16" -> the fused pair-layer Pallas
+    kernel (f32 / bf16-VMEM profile) drives the velocity-only trajectory
+    segments of the Gauss quadrature-dlogp path — the divergence nodes
+    keep the differentiable XLA forward (they need jax.linearize). Off-TPU
+    the kernel runs in interpret mode so CPU pipelines stay usable."""
+    impl = getattr(cfg, "traj_forward_impl", "default")
+    if impl in ("", "default"):
+        return None
+    from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
+
+    try:
+        cd = {"pair_kernel": None, "pair_kernel_bf16": "bf16_agg"}[impl]
+    except KeyError:
+        raise ValueError(
+            f"unknown traj_forward_impl {impl!r} "
+            "(default | pair_kernel | pair_kernel_bf16)"
+        ) from None
+    if not (
+        getattr(cfg, "dlogp_quad", "") == "gauss"
+        and getattr(cfg, "dlogp_quad_points", 0)
+        and getattr(cfg, "steps_per_dispatch", 0)
+        and cfg.return_dlogp
+    ):
+        raise ValueError(
+            "traj_forward_impl needs the segmented gauss quadrature-dlogp "
+            "path: set dlogp_quad='gauss', dlogp_quad_points and "
+            "steps_per_dispatch (see make_ode_sampler traj_drift)"
+        )
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    return pair_kernel_drift(
+        model, params, template, compute_dtype=cd, interpret=interpret
+    )
+
+
 def sample_ambient(
     cfg: MDQM9Config,
     model,
@@ -765,6 +804,7 @@ def sample_ambient(
         num_probes=getattr(cfg, "num_probes", 8),
         probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
+        traj_drift=_traj_drift_of(cfg, model, params, template),
     )
 
     if latent_z is None:
@@ -852,6 +892,7 @@ def sample_latent(
         num_probes=getattr(cfg, "num_probes", 8),
         probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
+        traj_drift=_traj_drift_of(cfg, model, params, template),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -914,25 +955,21 @@ def sample_molecular_sde(
     ``forward_impl="pair_kernel"`` routes the drift through the fused
     pair-layer Pallas kernel (ops/pair_layer_kernel.py): every pair-grid
     intermediate stays in VMEM, pair geometry + positional encodings are
-    recomputed in-kernel — the HBM-traffic cut for this no-autodiff path
-    (f32 only; incompatible with ``compute_dtype``).
+    recomputed in-kernel — the HBM-traffic cut for this no-autodiff path.
+    ``compute_dtype`` must then be None (f32) or "bf16_agg" (the bf16 VMEM
+    kernel profile — required at 10506 capacity where the f32 working set
+    exceeds VMEM).
     """
     from ti_tpu.models.cpainn_dense import dense_velocity_fn
 
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
     if forward_impl == "pair_kernel":
-        if compute_dtype is not None:
-            raise ValueError(
-                "forward_impl='pair_kernel' is f32-only; drop compute_dtype"
-            )
-        from ti_tpu.ops.pair_layer_kernel import apply_dense_pair_kernel
+        from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
 
-        def drift(xs, t, conds):
-            tb = jnp.broadcast_to(jnp.asarray(t), (xs.shape[0],))
-            return apply_dense_pair_kernel(
-                model, params, xs, tb, conds, template.atom_ids, template.edges
-            )
+        drift = pair_kernel_drift(
+            model, params, template, compute_dtype=compute_dtype
+        )
     elif forward_impl == "dense":
         drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
     else:
