@@ -184,9 +184,12 @@ def test_fast_profile():
     assert (small.divergence, small.num_probes) == ("hutchinson", 16)
     assert small.compute_dtype == "bf16_agg"
     assert small.steps_per_dispatch == 25
+    # round-4 adoption: pair-kernel trajectory segments at 00031 capacity
+    assert small.traj_forward_impl == "pair_kernel"
 
     large = fast_profile(ambient_preset("10506", 300))  # n_features=256
     assert (large.num_probes, large.n_steps) == (32, 16)
+    assert large.traj_forward_impl == "default"
 
     over = fast_profile(ambient_preset("00031", 300), num_probes=24, divergence="exact")
     assert (over.num_probes, over.divergence) == (24, "exact")

@@ -329,6 +329,14 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
             probe_mode="rademacher" if large else "orthogonal",
             compute_dtype="bf16_agg",
             steps_per_dispatch=25,
+            # round-4: the fused pair-layer kernel drives the velocity-only
+            # trajectory segments (divergence nodes keep the XLA forward).
+            # Qualified at 00031 capacity (dF err 0.044 / ESS 21.8% ==
+            # the default trajectory's 0.037 / 21.8% on the trained oracle,
+            # BASELINE.md round-4 row). At 10506 capacity the f32 kernel
+            # exceeds VMEM; the bf16 variant is pending its own capacity
+            # qualification — default stays until then.
+            traj_forward_impl="default" if large else "pair_kernel",
         )
     elif family == "latent":
         prof = dict(
