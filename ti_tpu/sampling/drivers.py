@@ -974,32 +974,19 @@ def sample_molecular_sde(
         drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
     else:
         raise ValueError(f"unknown forward_impl {forward_impl!r}")
-    g = g_fn if callable(g_fn) else (lambda t, _g=float(g_fn): jnp.asarray(_g, jnp.float32))
-    dt = 1.0 / n_steps
-    sqrt_dt = float(np.sqrt(dt))
-    per_save = n_steps // (n_save - 1)
+    from ti_tpu.sampling.integrators import sample_sde
 
     @jax.jit
     def run(x0s, conds, k):
-        def step(x, i):
-            t = i * dt
-            noise = jax.random.normal(jax.random.fold_in(k, i), x.shape, x.dtype)
-            noise = noise - noise.mean(axis=1, keepdims=True)
-            dx = dt * drift(x, t, conds).astype(x.dtype) + g(t) * sqrt_dt * noise
-            return x + dx.astype(x.dtype), None
-
-        def save_block(x, block_idx):
-            x, _ = jax.lax.scan(
-                step, x, block_idx * per_save + jnp.arange(per_save, dtype=jnp.float32)
-            )
-            return x, x
-
-        _, xs_tail = jax.lax.scan(
-            save_block, x0s, jnp.arange(n_save - 1, dtype=jnp.float32)
-        )
-        # (n_save-1, C, N, 3) -> (C, n_save, N, 3) including x0
-        return jnp.concatenate(
-            [x0s[:, None], jnp.moveaxis(xs_tail, 0, 1)], axis=1
-        )
+        # ONE Euler–Maruyama core (integrators.sample_sde): the batched
+        # (C, N, 3) state goes through it whole — the drift closes over
+        # the conditioning, the COM projection is sample_sde's axis(-2)
+        # zero-mean (identical for batched and per-chain layouts)
+        xs = sample_sde(
+            lambda x, t: drift(x, t, conds).astype(x0s.dtype), x0s, k,
+            g_fn=g_fn, n_steps=n_steps, n_save=n_save,
+            project_zero_mean=True,
+        )  # (n_save, C, N, 3)
+        return jnp.moveaxis(xs, 0, 1)
 
     return run(jnp.asarray(x0), jnp.asarray(temps), key)

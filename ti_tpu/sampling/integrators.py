@@ -544,8 +544,12 @@ def sample_sde(
     """Euler-Maruyama: dX = b(X, t) dt + g(t) dW. Returns (n_save, *state).
 
     With g=0 this is the Euler probability-flow ODE. ``project_zero_mean``
-    removes the COM of the injected noise each step (keeps molecular chains
-    on the zero-COM manifold the networks were trained on).
+    removes the mean of the injected noise over axis -2 each step — the
+    per-structure COM for both a single-chain (N, 3) state and a batched
+    (C, N, 3) state (keeps molecular chains on the zero-COM manifold the
+    networks were trained on). This is the ONE Euler–Maruyama core: the
+    batched molecular driver (drivers.sample_molecular_sde) delegates
+    here, so the noise/COM conventions live in a single place.
     """
     if n_save < 2 or n_steps % (n_save - 1) != 0:
         raise ValueError("n_steps must be a positive multiple of (n_save - 1)")
@@ -558,8 +562,8 @@ def sample_sde(
         t = t0 + i * dt
         noise = jax.random.normal(jax.random.fold_in(key, i), jnp.shape(x), dtype=x.dtype)
         if project_zero_mean:
-            noise = noise - jnp.mean(noise.reshape(-1, noise.shape[-1]), axis=0)
-        x = x + dt * drift_fn(x, t) + g(t) * sqrt_dt * noise
+            noise = noise - jnp.mean(noise, axis=-2, keepdims=True)
+        x = x + (dt * drift_fn(x, t) + g(t) * sqrt_dt * noise).astype(x.dtype)
         return x, None
 
     def save_block(x, block_idx):
