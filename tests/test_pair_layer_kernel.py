@@ -204,3 +204,29 @@ def test_sample_ambient_traj_forward_impl(impl):
                                                  "dlogp_quad_points": 5})
     with pytest.raises(ValueError, match="gauss"):
         sample_ambient(bad, model, params, template, x0, save=False)
+
+
+def test_sample_latent_traj_forward_impl():
+    """The latent (BG) driver honors traj_forward_impl too — same noise
+    seed, same trajectories as the default path at kernel tolerance."""
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.sampling.drivers import sample_latent
+
+    mol = make_synthetic_molecule(n_atoms=5, seed=0)
+    template = graph_template(mol, t_cond=1)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="latent")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    kw = dict(
+        solver_type="rk4", n_steps=8, return_dlogp=True, divergence="exact",
+        dlogp_quad="gauss", dlogp_quad_points=4, steps_per_dispatch=4,
+        sampling_T=300, batch_size=4, seed=0,
+    )
+    ref = sample_latent(MDQM9Config(**kw), model, params, template,
+                        n_samples=4, save=False)
+    out = sample_latent(MDQM9Config(traj_forward_impl="pair_kernel", **kw),
+                        model, params, template, n_samples=4, save=False)
+    np.testing.assert_allclose(out["samples"], ref["samples"],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(out["dlogps"], ref["dlogps"],
+                               rtol=1e-3, atol=1e-3)
