@@ -54,6 +54,22 @@ def main(argv):
                          "exact dlogp exceeds HBM / the dispatch deadline")
     ap.add_argument("--sample_batch", type=int, default=512,
                     help="chain batch for both sampling stages")
+    ap.add_argument("--divergence", choices=["exact", "hutchinson"],
+                    default="exact",
+                    help="divergence estimator for BOTH stages' dlogp "
+                         "(hutchinson num_probes=32 is the qualified "
+                         "10506-capacity profile — exact's 3N lanes at "
+                         "F=256/29 atoms need sample_batch <= 16)")
+    ap.add_argument("--num_probes", type=int, default=32)
+    ap.add_argument("--probe_mode", choices=["rademacher", "orthogonal"],
+                    default="rademacher")
+    ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
+                    help="training forward impl for BOTH stages (dense+"
+                         "bf16_agg is the qualified fast training profile; "
+                         "the composed partition identity holds regardless "
+                         "of model quality, so this only moves the ESS)")
+    ap.add_argument("--train_compute_dtype",
+                    choices=["f32", "bf16", "bf16_agg"], default="f32")
     args = ap.parse_args(argv)
 
     from ti_tpu.analysis.weights import calc_ess, calc_importance_weights
@@ -87,7 +103,11 @@ def main(argv):
         n_features=args.features, score_layers=args.layers, batch_size=args.batch,
         n_epochs=args.latent_epochs, learning_rate=args.lr,
         scale_trajs=False, T=[T0], sampling_T=T0,
-        solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
+        solver_type="rk4", n_steps=64, return_dlogp=True,
+        divergence=args.divergence, num_probes=args.num_probes,
+        probe_mode=args.probe_mode,
+        train_impl=args.train_impl,
+        train_compute_dtype=args.train_compute_dtype,
         steps_per_dispatch=16, compute_dtype=args.compute_dtype,
         dlogp_quad_points=args.gl_points if args.latent_quad else 0,
         dlogp_quad="gauss",
@@ -119,7 +139,11 @@ def main(argv):
         n_epochs=args.ambient_epochs, learning_rate=args.lr, gamma="brownian", a=0.1,
         scale_trajs=False, T0s=[T0, T1], T1s=[T0, T1],
         sampling_T0=T0, sampling_T1=T1,
-        solver_type="rk4", n_steps=64, return_dlogp=True, divergence="exact",
+        solver_type="rk4", n_steps=64, return_dlogp=True,
+        divergence=args.divergence, num_probes=args.num_probes,
+        probe_mode=args.probe_mode,
+        train_impl=args.train_impl,
+        train_compute_dtype=args.train_compute_dtype,
         steps_per_dispatch=16, dlogp_quad_points=args.gl_points, dlogp_quad="gauss",
         compute_dtype=args.compute_dtype,
         model_save_path=f"{args.out_dir}/models_amb",

@@ -71,6 +71,14 @@ def main(argv):
                     help="reload out_dir/oracle_params from a previous run "
                          "instead of retraining (profile studies on the "
                          "same trained generator)")
+    ap.add_argument("--train_impl", choices=["edge", "dense"], default="edge",
+                    help="training forward impl (dense+bf16_agg is the "
+                         "qualified fast training profile, BASELINE.md — "
+                         "the BG partition identity holds regardless of "
+                         "generator quality, so the training profile "
+                         "cannot bias the oracle, only the ESS)")
+    ap.add_argument("--train_compute_dtype",
+                    choices=["f32", "bf16", "bf16_agg"], default="f32")
     args = ap.parse_args(argv)
 
     from ti_tpu.config import MDQM9Config
@@ -94,6 +102,8 @@ def main(argv):
         solver_type="rk4", n_steps=args.n_steps, return_dlogp=True,
         divergence=args.divergence, num_probes=args.num_probes,
         probe_mode=args.probe_mode,
+        train_impl=args.train_impl,
+        train_compute_dtype=args.train_compute_dtype,
         compute_dtype=args.compute_dtype,
         dlogp_quad_points=args.gl_points if args.quad_dlogp else 0,
         dlogp_quad="gauss",
