@@ -169,6 +169,41 @@ def test_molecular_loss_dense_impl_matches_edge(mol_setup):
     for ge, gd in zip(jax.tree.leaves(g_edge), jax.tree.leaves(g_dense)):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(ge), rtol=2e-3, atol=2e-5)
 
+    # edge impl refuses mixed precision instead of silently ignoring it
+    class BadCfg:
+        train_impl = "edge"
+        train_compute_dtype = "bf16"
+
+    with pytest.raises(ValueError):
+        make_batched_apply(BadCfg, model, template)
+
+
+@pytest.mark.slow
+def test_molecular_loss_dense_mixed_precision_profiles(mol_setup):
+    """The dense-impl bf16 / bf16_agg training profiles produce finite,
+    near-f32 losses with finite nonzero gradients. Slow tier: each dtype is
+    a separate value_and_grad compile (~20 s each on the one-core CPU host);
+    the f32 dense-vs-edge parity above stays in the fast tier."""
+    from ti_tpu.train.common import make_batched_apply
+
+    model, params, template = mol_setup
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (4, 5, 3))
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (4, 5, 3))
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (4, 1))
+    interp = interpolants.linear(a=1.0, gamma="sin2")
+
+    class Cfg:
+        train_impl = "dense"
+        train_compute_dtype = "f32"
+
+    def loss(p, batched):
+        return molecular_velocity_loss(
+            model.apply, p, jax.random.PRNGKey(2), template, x0, x1, temps,
+            interp, batched_apply_fn=batched,
+        )
+
+    v_edge = loss(params, None)
     for dtype_name in ("bf16", "bf16_agg"):
         Cfg.train_compute_dtype = dtype_name
         v_b, g_b = jax.value_and_grad(loss)(
@@ -178,11 +213,3 @@ def test_molecular_loss_dense_impl_matches_edge(mol_setup):
         assert abs(float(v_b) - float(v_edge)) < 0.05 * (1.0 + abs(float(v_edge)))
         gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(g_b)))
         assert jnp.isfinite(gnorm) and float(gnorm) > 0
-
-    # edge impl refuses mixed precision instead of silently ignoring it
-    class BadCfg:
-        train_impl = "edge"
-        train_compute_dtype = "bf16"
-
-    with pytest.raises(ValueError):
-        make_batched_apply(BadCfg, model, template)
