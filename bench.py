@@ -247,6 +247,23 @@ def main(quick: bool = False):
             file=sys.stderr,
         )
         opt_rate = max(opt_rate, pk_traj_rate)
+        # bf16-VMEM kernel variant: same qualification envelope (the bf16_agg
+        # dense trajectory it matches was the pre-round-4 default), halves
+        # the kernel's HBM/VMEM traffic — measured as a candidate too
+        pk16_traj_sampler = make_ode_sampler(
+            v_fn_of,
+            traj_drift=pair_kernel_drift(
+                model, params, template, compute_dtype="bf16_agg"),
+            **opt_kw,
+        )
+        pk16_traj_rate, _ = timed(pk16_traj_sampler, chains, reps)
+        print(
+            f"[bench] optimized + pair-kernel-bf16 trajectory: "
+            f"{pk16_traj_rate:.3f} samples/s "
+            f"({pk16_traj_rate / max(opt_rate, 1e-9):.2f}x)",
+            file=sys.stderr,
+        )
+        opt_rate = max(opt_rate, pk16_traj_rate)
     except Exception as e:
         print(f"[bench] pair-kernel trajectory unavailable: {e}", file=sys.stderr)
 
@@ -360,6 +377,10 @@ def main(quick: bool = False):
             print(f"[bench] SDE pair_kernel f32: {pk_rate:.1f} samples/s",
                   file=sys.stderr)
             sde_rate = max(sde_rate, pk_rate)
+            pk16_rate = timed_sde("pair_kernel", "bf16_agg")
+            print(f"[bench] SDE pair_kernel bf16: {pk16_rate:.1f} samples/s",
+                  file=sys.stderr)
+            sde_rate = max(sde_rate, pk16_rate)
         except Exception as e:
             print(f"[bench] SDE pair_kernel unavailable: {e}", file=sys.stderr)
 
