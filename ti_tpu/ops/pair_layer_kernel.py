@@ -257,9 +257,13 @@ def apply_dense_pair_kernel(
     ``compute_dtype="bf16_agg"`` is the bf16 VMEM profile: pair-grid
     tensors, dot matrices and the carried e features live in bf16 (f32 dot
     accumulation + f32 LN statistics — the same semantics the dense XLA
-    bf16_agg path physics-qualified), halving the VMEM working set so the
-    kernel compiles at 10506 capacity (F=256 x 29 atoms). Positions,
-    aggregation outputs and the returned velocity stay f32.
+    bf16_agg path physics-qualified), halving the VMEM working set at
+    10506 capacity (F=256 x 29 atoms). The f32 variant sits near the VMEM
+    ceiling there: it has failed the remote compile under load in one
+    session and compiled fine in another (both on-chip observations,
+    BASELINE.md round-4 rows) — bf16_agg is the dependable large-capacity
+    profile. Positions, aggregation outputs and the returned velocity
+    stay f32.
     """
     import numpy as np
 

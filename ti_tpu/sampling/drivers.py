@@ -957,8 +957,9 @@ def sample_molecular_sde(
     intermediate stays in VMEM, pair geometry + positional encodings are
     recomputed in-kernel — the HBM-traffic cut for this no-autodiff path.
     ``compute_dtype`` must then be None (f32) or "bf16_agg" (the bf16 VMEM
-    kernel profile — required at 10506 capacity where the f32 working set
-    exceeds VMEM).
+    kernel profile — the dependable variant at 10506 capacity, where the
+    f32 working set sits near the VMEM ceiling and has failed the remote
+    compile under load).
     """
     from ti_tpu.models.cpainn_dense import dense_velocity_fn
 
