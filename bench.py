@@ -247,9 +247,11 @@ def main(quick: bool = False):
             file=sys.stderr,
         )
         opt_rate = max(opt_rate, pk_traj_rate)
-        # bf16-VMEM kernel variant: same qualification envelope (the bf16_agg
-        # dense trajectory it matches was the pre-round-4 default), halves
-        # the kernel's HBM/VMEM traffic — measured as a candidate too
+        # bf16-VMEM kernel variant: measured as stderr CONTEXT ONLY — its
+        # full 00031-capacity physics qualification (validate_mdqm9_physics
+        # --traj_impl pair_kernel_bf16 on the trained oracle) is pending;
+        # until that row lands in BASELINE.md it stays out of the headline
+        # max (ADVICE r4: the 4-atom sanity check is not a qualification).
         pk16_traj_sampler = make_ode_sampler(
             v_fn_of,
             traj_drift=pair_kernel_drift(
@@ -258,12 +260,12 @@ def main(quick: bool = False):
         )
         pk16_traj_rate, _ = timed(pk16_traj_sampler, chains, reps)
         print(
-            f"[bench] optimized + pair-kernel-bf16 trajectory: "
+            f"[bench] pair-kernel-bf16 trajectory (context; headline-"
+            f"ineligible pending 00031 qualification): "
             f"{pk16_traj_rate:.3f} samples/s "
             f"({pk16_traj_rate / max(opt_rate, 1e-9):.2f}x)",
             file=sys.stderr,
         )
-        opt_rate = max(opt_rate, pk16_traj_rate)
     except Exception as e:
         print(f"[bench] pair-kernel trajectory unavailable: {e}", file=sys.stderr)
 

@@ -59,7 +59,8 @@ def main(argv=None):
     p.add_argument("--probe_mode", default="rademacher",
                    help="rademacher is the qualified 10506 mode "
                         "(orthogonal measured no-benefit at d=87)")
-    p.add_argument("--compute_dtype", default="bf16_agg")
+    p.add_argument("--compute_dtype", choices=["f32", "bf16", "bf16_agg"],
+                   default="bf16_agg")
     p.add_argument("--steps_per_dispatch", type=int, default=25)
     p.add_argument("--reps", type=int, default=2, help="best-of-N timed reps")
     p.add_argument("--chains", default="16,24,32",
@@ -70,23 +71,30 @@ def main(argv=None):
                    help="comma subset of {default,pair_kernel,pair_kernel_bf16}")
     args = p.parse_args(argv)
 
+    impls = [s for s in args.impls.split(",") if s]
+    known = {"default", "pair_kernel", "pair_kernel_bf16"}
+    unknown = [i for i in impls if i not in known]
+    if unknown:
+        p.error(f"unknown impls {unknown}; choose from {sorted(known)}")
+
     mol = make_synthetic_molecule(n_atoms=args.atoms, seed=0)
     template = graph_template(mol, t_cond=2)
     model = CPaiNN(n_features=args.features, score_layers=args.layers,
                    temp_length=100.0, conditioning="ambient")
     params = model.init(jax.random.PRNGKey(0), template)
-    v_fn_of = molecular_v_fn_of(model, params, template,
-                                compute_dtype=args.compute_dtype)
+    # repo dtype convention (sde_scan._DTYPES / drivers._compute_dtype)
+    cd = {"f32": None, "bf16": jnp.bfloat16, "bf16_agg": "bf16_agg"}[
+        args.compute_dtype]
+    v_fn_of = molecular_v_fn_of(model, params, template, compute_dtype=cd)
 
     drifts = {"default": None}
-    if "pair_kernel" in args.impls:
+    if "pair_kernel" in impls:
         drifts["pair_kernel"] = pair_kernel_drift(model, params, template)
-    if "pair_kernel_bf16" in args.impls:
+    if "pair_kernel_bf16" in impls:
         drifts["pair_kernel_bf16"] = pair_kernel_drift(
             model, params, template, compute_dtype="bf16_agg")
 
     key = jax.random.PRNGKey(42)
-    impls = [s for s in args.impls.split(",") if s]
     chain_list = [int(c) for c in args.chains.split(",")]
     probe_list = [int(k) for k in args.probes.split(",")]
 
