@@ -269,6 +269,37 @@ def main(quick: bool = False):
     except Exception as e:
         print(f"[bench] pair-kernel trajectory unavailable: {e}", file=sys.stderr)
 
+    # pair-TANGENT divergence kernel (round 5): the probe lanes ride the
+    # message layers in VMEM (ops/pair_tangent_kernel.py) — the direct
+    # attack on the headline's dominant cost center (the divergence nodes
+    # are HBM-bound on per-lane tangent reads, BASELINE.md). Measured with
+    # the qualified pair-kernel trajectory underneath; context lines until
+    # the 00031 physics qualification row lands, then eligible for max().
+    try:
+        from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
+        from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
+
+        for dname, dcd in (("f32", None), ("bf16", "bf16_agg")):
+            dt_sampler = make_ode_sampler(
+                v_fn_of,
+                traj_drift=pair_kernel_drift(model, params, template),
+                div_drift=pair_tangent_div_fn(
+                    model, params, template, num_probes=16,
+                    probe_mode="orthogonal", compute_dtype=dcd,
+                ),
+                **opt_kw,
+            )
+            dt_rate, _ = timed(dt_sampler, chains, reps)
+            print(
+                f"[bench] pair-tangent-{dname} divergence + pair-kernel "
+                f"trajectory (context; pending 00031 qualification): "
+                f"{dt_rate:.3f} samples/s "
+                f"({dt_rate / max(opt_rate, 1e-9):.2f}x)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] pair-tangent divergence unavailable: {e}", file=sys.stderr)
+
     # exact-divergence context line (the reference's estimator — all 3N
     # tangent lanes; the round-1/2a headline path)
     exact_sampler = make_ode_sampler(

@@ -69,6 +69,11 @@ def main(argv=None):
                    help="comma-separated Hutchinson probe counts")
     p.add_argument("--impls", default="default,pair_kernel_bf16",
                    help="comma subset of {default,pair_kernel,pair_kernel_bf16}")
+    p.add_argument("--div_impls", default="default",
+                   help="comma subset of {default,pair_tangent,"
+                        "pair_tangent_bf16}: divergence-NODE estimator impl "
+                        "(ops/pair_tangent_kernel.py — the probe lanes ride "
+                        "the message layers in VMEM); crossed with --impls")
     args = p.parse_args(argv)
 
     impls = [s for s in args.impls.split(",") if s]
@@ -76,6 +81,11 @@ def main(argv=None):
     unknown = [i for i in impls if i not in known]
     if unknown:
         p.error(f"unknown impls {unknown}; choose from {sorted(known)}")
+    div_impls = [s for s in args.div_impls.split(",") if s]
+    known_d = {"default", "pair_tangent", "pair_tangent_bf16"}
+    unknown = [i for i in div_impls if i not in known_d]
+    if unknown:
+        p.error(f"unknown div_impls {unknown}; choose from {sorted(known_d)}")
 
     mol = make_synthetic_molecule(n_atoms=args.atoms, seed=0)
     template = graph_template(mol, t_cond=2)
@@ -98,7 +108,19 @@ def main(argv=None):
     chain_list = [int(c) for c in args.chains.split(",")]
     probe_list = [int(k) for k in args.probes.split(",")]
 
+    def div_drift_for(dimpl, probes):
+        if dimpl == "default":
+            return None
+        from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
+
+        return pair_tangent_div_fn(
+            model, params, template, num_probes=probes,
+            probe_mode=args.probe_mode,
+            compute_dtype="bf16_agg" if dimpl.endswith("bf16") else None,
+        )
+
     for impl in impls:
+      for dimpl in div_impls:
         for probes in probe_list:
             sampler = make_ode_sampler(
                 v_fn_of, solver="rk4", n_steps=args.steps, n_save=2,
@@ -107,6 +129,7 @@ def main(argv=None):
                 dlogp_quad_points=args.gl_points, dlogp_quad="gauss",
                 steps_per_dispatch=args.steps_per_dispatch,
                 traj_drift=drifts[impl],
+                div_drift=div_drift_for(dimpl, probes),
             )
             for chains in chain_list:
                 x0 = 0.1 * jax.random.normal(key, (chains, args.atoms, 3),
@@ -124,13 +147,13 @@ def main(argv=None):
                         float(jnp.sum(sol.xs))
                         best = max(best, chains / (time.perf_counter() - t0))
                 except Exception as e:
-                    print(json.dumps({"impl": impl, "probes": probes,
-                                      "chains": chains,
+                    print(json.dumps({"impl": impl, "div_impl": dimpl,
+                                      "probes": probes, "chains": chains,
                                       "error": f"{type(e).__name__}: {e}"[:200]}))
                     continue
                 print(json.dumps({
-                    "impl": impl, "probes": probes, "chains": chains,
-                    "samples_per_sec": round(best, 3),
+                    "impl": impl, "div_impl": dimpl, "probes": probes,
+                    "chains": chains, "samples_per_sec": round(best, 3),
                 }))
                 sys.stdout.flush()
 

@@ -73,6 +73,17 @@ def main(argv):
                          "drives the velocity-only trajectory while the "
                          "divergence nodes keep the XLA forward — the "
                          "qualification knob for cfg.traj_forward_impl")
+    ap.add_argument("--div_impl",
+                    choices=["default", "pair_tangent", "pair_tangent_bf16"],
+                    default="default",
+                    help="divergence-node estimator impl for the gauss path "
+                         "(requires --quad_dlogp): the pair-tangent Pallas "
+                         "kernel carries the Hutchinson probe lanes through "
+                         "the message layers in VMEM (f32 or the bf16-VMEM "
+                         "profile) — the qualification knob for "
+                         "cfg.div_forward_impl. With --divergence exact the "
+                         "kernel runs the full orthogonal tangent frame "
+                         "(mathematically the exact trace)")
     ap.add_argument("--gl_points", type=int, default=10)
     ap.add_argument("--divergence", choices=["exact", "hutchinson", "hutchpp"], default="exact",
                     help="divergence estimator for the dlogp integrand "
@@ -229,16 +240,38 @@ def main(argv):
             interpret=jax.devices()[0].platform not in ("tpu", "axon"),
         )
 
+    if args.div_impl != "default" and not args.quad_dlogp:
+        raise SystemExit("--div_impl requires --quad_dlogp (the gauss "
+                         "quadrature-dlogp path, see make_ode_sampler)")
+
+    def div_drift_for(div, k, pm):
+        if args.div_impl == "default":
+            return None
+        from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
+
+        if div == "exact":
+            k, pm = 3 * N, "orthogonal"  # full frame = exact trace
+        return pair_tangent_div_fn(
+            res["model"], res["params"], res["template"],
+            num_probes=k, probe_mode=pm,
+            compute_dtype="bf16_agg" if args.div_impl.endswith("bf16") else None,
+            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+        )
+
     def transport(n_steps, quad, dtype_name="f32", divergence=None,
                   num_probes=None, probe_mode=None, seed=None):
+        div = divergence or args.divergence
+        kk = num_probes or args.num_probes
+        pm = probe_mode or args.probe_mode
         sampler = make_ode_sampler(
             v_fn_of_dtype(dtype_name), solver=args.solver, n_steps=n_steps, n_save=2,
-            return_dlogp=True, divergence=divergence or args.divergence,
-            num_probes=num_probes or args.num_probes, steps_per_dispatch=16,
+            return_dlogp=True, divergence=div,
+            num_probes=kk, steps_per_dispatch=16,
             dlogp_quad_points=(args.gl_points if quad else None),
             dlogp_quad="gauss", probe_crn=args.probe_crn,
-            probe_mode=probe_mode or args.probe_mode,
+            probe_mode=pm,
             traj_drift=traj_drift if quad else None,
+            div_drift=div_drift_for(div, kk, pm) if quad else None,
         )
         bs = args.eval_batch or len(x0)
         xs, lps = [], []
@@ -376,6 +409,7 @@ def main(argv):
         "solver": args.solver,
         "quad_dlogp": bool(args.quad_dlogp),
         "traj_impl": args.traj_impl,
+        "div_impl": args.div_impl,
         "divergence": args.divergence,
         "compute_dtype": headline_dtype,
         "train_temps": train_T,

@@ -152,6 +152,12 @@ class MDQM9Config:
     # the velocity-only trajectory while the divergence nodes keep the
     # differentiable XLA forward (drivers._traj_drift_of)
     traj_forward_impl: str = "default"
+    # divergence-node estimator impl of the same gauss path: "default" =
+    # jax.linearize of the XLA forward + vmapped probe lanes;
+    # "pair_tangent" / "pair_tangent_bf16" = the pair-tangent Pallas kernel
+    # (f32 / bf16-VMEM profile) carries the probe lanes through the message
+    # layers in VMEM (drivers._div_drift_of; ops/pair_tangent_kernel.py)
+    div_forward_impl: str = "default"
     # SDE (Euler–Maruyama, no dlogp) surface — scripts/mdqm9_sample_sde.py:
     # noise scale (g <= 0.1 holds the ODE route's marginal KS floor on the
     # trained oracle, BASELINE.md SDE rows) and drift implementation

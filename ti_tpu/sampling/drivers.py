@@ -76,6 +76,7 @@ def make_ode_sampler(
     probe_mode: str = "rademacher",
     node_batch: Optional[int] = None,
     traj_drift: Optional[Callable] = None,
+    div_drift: Optional[Callable] = None,
 ):
     """Build a batched transport sampler.
 
@@ -90,6 +91,15 @@ def make_ode_sampler(
     ``jax.linearize``, which a custom forward like the fused pair-layer
     Pallas kernel does not support). Same RK tableau, so the trajectories
     agree to fp reordering (tests/test_pair_layer_kernel.py).
+
+    ``div_drift`` (same gauss path as ``traj_drift``): a BATCHED
+    divergence-node estimator ``(xs (B,N,3), t, conds, key) -> (B,)`` used
+    in place of the per-chain ``jax.linearize`` + probe-lane vmap — e.g.
+    ``ops.pair_tangent_kernel.pair_tangent_div_fn``, which carries the
+    Hutchinson tangent lanes through the message layers in VMEM (the
+    HBM-bound cost center of the dlogp headline, BASELINE.md). The
+    estimator's probe DRAWS differ from ``divergence_hutchinson`` (other
+    key schedule), so use the physics oracle for qualification.
 
     ``steps_per_dispatch`` bounds the number of integrator steps per DEVICE
     DISPATCH: the integration is resumed across multiple jitted calls (one
@@ -159,13 +169,14 @@ def make_ode_sampler(
                 file=sys.stderr,
             )
 
-    if traj_drift is not None and not (
+    if (traj_drift is not None or div_drift is not None) and not (
         dlogp_quad_points is not None and return_dlogp
         and dlogp_quad == "gauss" and steps_per_dispatch is not None
     ):
         raise ValueError(
-            "traj_drift requires the segmented gauss quadrature-dlogp path "
-            "(dlogp_quad='gauss', dlogp_quad_points=, steps_per_dispatch=)"
+            "traj_drift/div_drift require the segmented gauss "
+            "quadrature-dlogp path (dlogp_quad='gauss', dlogp_quad_points=, "
+            "steps_per_dispatch=)"
         )
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":
@@ -178,6 +189,7 @@ def make_ode_sampler(
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
                 div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
                 node_batch=node_batch, traj_drift=traj_drift,
+                div_drift=div_drift,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
@@ -388,7 +400,7 @@ def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
     probe_crn=False, probe_mode="rademacher", node_batch=None,
-    traj_drift=None,
+    traj_drift=None, div_drift=None,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -485,32 +497,50 @@ def _gauss_dlogp_sampler(
 
             return jax.vmap(one)(x, conds)
 
-    @jax.jit
-    def div_all(xs_nodes, conds, ts_nodes, key):
-        def one_chain(xs_p, cond, k):
+    if div_drift is not None:
+        # batched estimator (e.g. the pair-tangent kernel): one lax.map
+        # over the quadrature nodes, the whole chain batch per node
+        @jax.jit
+        def div_all(xs_nodes, conds, ts_nodes, key):
+            xs_nt = jnp.swapaxes(xs_nodes, 0, 1)  # (n_nodes, C, N, 3)
+
             def node(args):
-                x, t, i = args
-                f = lambda y: v_fn_of(cond)(y, t)
-                if divergence == "exact":
-                    return divergence_exact(
-                        f, x, chunk=div_chunk, axis_name=div_axis
-                    )[1]
-                if divergence == "hutchpp":
-                    return divergence_hutchpp(
-                        f, x, jax.random.fold_in(k, i), num_queries=num_probes
-                    )[1]
-                return divergence_hutchinson(
-                    f, x, jax.random.fold_in(k, i), num_probes=num_probes,
-                    axis_name=div_axis, probe_mode=probe_mode,
-                )[1]
+                xb, t, i = args
+                return div_drift(xb, t, conds, jax.random.fold_in(key, i))
 
-            return jax.lax.map(
-                node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])),
-                batch_size=node_batch,
-            )
+            divs = jax.lax.map(
+                node, (xs_nt, ts_nodes, jnp.arange(xs_nt.shape[0])),
+            )  # (n_nodes, C)
+            return jnp.swapaxes(divs, 0, 1)
 
-        keys = _chain_keys(key, xs_nodes.shape[0], probe_crn)
-        return jax.vmap(one_chain)(xs_nodes, conds, keys)
+    else:
+
+        @jax.jit
+        def div_all(xs_nodes, conds, ts_nodes, key):
+            def one_chain(xs_p, cond, k):
+                def node(args):
+                    x, t, i = args
+                    f = lambda y: v_fn_of(cond)(y, t)
+                    if divergence == "exact":
+                        return divergence_exact(
+                            f, x, chunk=div_chunk, axis_name=div_axis
+                        )[1]
+                    if divergence == "hutchpp":
+                        return divergence_hutchpp(
+                            f, x, jax.random.fold_in(k, i), num_queries=num_probes
+                        )[1]
+                    return divergence_hutchinson(
+                        f, x, jax.random.fold_in(k, i), num_probes=num_probes,
+                        axis_name=div_axis, probe_mode=probe_mode,
+                    )[1]
+
+                return jax.lax.map(
+                    node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])),
+                    batch_size=node_batch,
+                )
+
+            keys = _chain_keys(key, xs_nodes.shape[0], probe_crn)
+            return jax.vmap(one_chain)(xs_nodes, conds, keys)
 
     # node positions within `bounds`: every index except save boundaries
     save_pos = np.arange(n_save) * gaps_per_interval
@@ -769,6 +799,60 @@ def _traj_drift_of(cfg, model, params, template):
     )
 
 
+def _div_drift_of(cfg, model, params, template):
+    """Batched divergence-node estimator for ``make_ode_sampler(div_drift=)``
+    from ``cfg.div_forward_impl``.
+
+    "default" (or empty) -> None: divergence nodes run jax.linearize of the
+    XLA forward with vmapped probe lanes. "pair_tangent" /
+    "pair_tangent_bf16" -> the pair-tangent Pallas kernel
+    (ops/pair_tangent_kernel.py) carries the probe lanes through the
+    message layers in VMEM (f32 / bf16-VMEM profile). The probe count and
+    mode follow cfg.num_probes / cfg.probe_mode when cfg.divergence ==
+    "hutchinson"; with cfg.divergence == "exact" the kernel runs the FULL
+    orthogonal tangent frame (num_probes = 3N), which is mathematically
+    the exact trace (tests/test_pair_tangent_kernel.py)."""
+    impl = getattr(cfg, "div_forward_impl", "default")
+    if impl in ("", "default"):
+        return None
+    from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
+
+    try:
+        cd = {"pair_tangent": None, "pair_tangent_bf16": "bf16_agg"}[impl]
+    except KeyError:
+        raise ValueError(
+            f"unknown div_forward_impl {impl!r} "
+            "(default | pair_tangent | pair_tangent_bf16)"
+        ) from None
+    if not (
+        getattr(cfg, "dlogp_quad", "") == "gauss"
+        and getattr(cfg, "dlogp_quad_points", 0)
+        and getattr(cfg, "steps_per_dispatch", 0)
+        and cfg.return_dlogp
+    ):
+        raise ValueError(
+            "div_forward_impl needs the segmented gauss quadrature-dlogp "
+            "path: set dlogp_quad='gauss', dlogp_quad_points and "
+            "steps_per_dispatch (see make_ode_sampler div_drift)"
+        )
+    if cfg.divergence == "hutchinson":
+        num_probes = getattr(cfg, "num_probes", 16)
+        probe_mode = getattr(cfg, "probe_mode", "rademacher")
+    elif cfg.divergence == "exact":
+        num_probes = 3 * int(template.atom_ids.shape[0])
+        probe_mode = "orthogonal"
+    else:
+        raise ValueError(
+            f"div_forward_impl does not support divergence={cfg.divergence!r} "
+            "(exact | hutchinson)"
+        )
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    return pair_tangent_div_fn(
+        model, params, template, num_probes=num_probes, probe_mode=probe_mode,
+        compute_dtype=cd, interpret=interpret,
+    )
+
+
 def sample_ambient(
     cfg: MDQM9Config,
     model,
@@ -805,6 +889,7 @@ def sample_ambient(
         probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
         traj_drift=_traj_drift_of(cfg, model, params, template),
+        div_drift=_div_drift_of(cfg, model, params, template),
     )
 
     if latent_z is None:
@@ -893,6 +978,7 @@ def sample_latent(
         probe_mode=getattr(cfg, "probe_mode", "rademacher"),
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
         traj_drift=_traj_drift_of(cfg, model, params, template),
+        div_drift=_div_drift_of(cfg, model, params, template),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
