@@ -378,10 +378,11 @@ def main(quick: bool = False):
         c_sde = 512 if quick else 4096
         x0, temps = make_batch(c_sde)
 
-        def timed_sde(impl, cd):
+        def timed_sde(impl, cd, cb=1):
             out = sample_molecular_sde(
                 model, params, template, x0, temps, key, g_fn=0.1,
                 n_steps=sde_steps, compute_dtype=cd, forward_impl=impl,
+                chain_block=cb,
             )
             float(jnp.sum(out))
             best = 0.0
@@ -391,6 +392,7 @@ def main(quick: bool = False):
                     model, params, template, x0, temps,
                     jax.random.fold_in(key, 9 + i), g_fn=0.1,
                     n_steps=sde_steps, compute_dtype=cd, forward_impl=impl,
+                    chain_block=cb,
                 )
                 float(jnp.sum(out))
                 best = max(best, c_sde / (time.perf_counter() - t0))
@@ -414,6 +416,15 @@ def main(quick: bool = False):
             print(f"[bench] SDE pair_kernel bf16: {pk16_rate:.1f} samples/s",
                   file=sys.stderr)
             sde_rate = max(sde_rate, pk16_rate)
+            # chain-blocked grid (round 5): C chains per Pallas step —
+            # parity-tested scheduling change (test_pair_layer_kernel), so
+            # it joins the max() directly; the marginal qualification is
+            # about g, not the forward impl (BASELINE.md SDE rows)
+            if not quick:
+                pk16_cb = timed_sde("pair_kernel", "bf16_agg", cb=4)
+                print(f"[bench] SDE pair_kernel bf16 chain_block=4: "
+                      f"{pk16_cb:.1f} samples/s", file=sys.stderr)
+                sde_rate = max(sde_rate, pk16_cb)
         except Exception as e:
             print(f"[bench] SDE pair_kernel unavailable: {e}", file=sys.stderr)
 

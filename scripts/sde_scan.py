@@ -58,6 +58,12 @@ def main():
         "(the fused pair-layer Pallas kernel) supports f32 and bf16_agg "
         "(the bf16 VMEM profile), so plain-bf16 is skipped for it",
     )
+    p.add_argument(
+        "--chain_blocks", type=str, default="1",
+        help="comma-separated chains-per-grid-step for pair_kernel "
+        "(ops/pair_layer_kernel.py chain_block; dense ignores it — the "
+        "VERDICT-r4 MXU-occupancy axis)",
+    )
     args = p.parse_args()
 
     chain_list = [int(c) for c in args.chains.split(",")]
@@ -69,6 +75,7 @@ def main():
     unknown = [i for i in impl_list if i not in ("dense", "pair_kernel")]
     if unknown:
         p.error(f"unknown impls {unknown}; choose from ['dense', 'pair_kernel']")
+    cb_list = [int(cb) for cb in args.chain_blocks.split(",")]
 
     mol = make_synthetic_molecule(n_atoms=args.atoms, seed=0)
     template = graph_template(mol, t_cond=2)
@@ -93,17 +100,20 @@ def main():
         x0 = x0 - x0.mean(axis=1, keepdims=True)
         temps = jnp.tile(jnp.array([1000.0, 300.0], jnp.float32), (chains, 1))
         for impl in impl_list:
+          for cb in (cb_list if impl == "pair_kernel" else [1]):
             for dname in dtype_list:
                 if impl == "pair_kernel" and dname not in ("f32", "bf16_agg"):
                     continue
                 cd = _DTYPES[dname]
                 tag = f"{dname}/{impl}" if len(impl_list) > 1 else dname
+                if cb != 1:
+                    tag += f"/cb{cb}"
 
                 def run(k):
                     out = sample_molecular_sde(
                         model, params, template, x0, temps, k,
                         g_fn=args.g, n_steps=args.steps, compute_dtype=cd,
-                        forward_impl=impl,
+                        forward_impl=impl, chain_block=cb,
                     )
                     return float(jnp.sum(out))  # scalar readback fence
 
@@ -130,7 +140,7 @@ def main():
                     continue
                 results.append(
                     {"chains": chains, "dtype": dname, "impl": impl,
-                     "samples_per_s": best}
+                     "chain_block": cb, "samples_per_s": best}
                 )
                 print(
                     f"chains={chains:5d} {tag:14s}: {best:9.1f} samples/s",

@@ -230,3 +230,35 @@ def test_sample_latent_traj_forward_impl():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(out["dlogps"], ref["dlogps"],
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("chain_block,compute_dtype", [
+    (2, None), (4, None), (2, "bf16_agg"),
+])
+def test_pair_layer_kernel_chain_block_parity(chain_block, compute_dtype):
+    """The chain-blocked kernel (C chains per grid step via selection
+    matmuls, _pair_layer_kernel_cb) must match the per-chain kernel
+    exactly — including a batch that is NOT a multiple of the block (tail
+    padding sliced back)."""
+    mol = make_synthetic_molecule(n_atoms=7, seed=0)
+    template = graph_template(mol, t_cond=2)
+    model = CPaiNN(n_features=16, score_layers=2, conditioning="ambient")
+    params = model.init(jax.random.PRNGKey(0), template)
+
+    b = 5  # deliberately not divisible by chain_block
+    key = jax.random.PRNGKey(1)
+    xs = 0.3 * jax.random.normal(key, (b, 7, 3), jnp.float32)
+    xs = xs - xs.mean(axis=1, keepdims=True)
+    ts = jnp.linspace(0.1, 0.9, b)
+    temps = jnp.tile(jnp.array([700.0, 300.0]), (b, 1))
+
+    base = apply_dense_pair_kernel(
+        model, params, xs, ts, temps, template.atom_ids, template.edges,
+        interpret=True, compute_dtype=compute_dtype,
+    )
+    blocked = apply_dense_pair_kernel(
+        model, params, xs, ts, temps, template.atom_ids, template.edges,
+        interpret=True, compute_dtype=compute_dtype, chain_block=chain_block,
+    )
+    tol = dict(rtol=2e-2, atol=2e-3) if compute_dtype else dict(rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(base), **tol)

@@ -120,6 +120,55 @@ def test_sampler_div_drift_matches_exact_dlogp(setup):
     )
 
 
+def test_div_forward_impl_config_routing(setup):
+    """cfg.div_forward_impl routes through drivers._div_drift_of with the
+    documented guard rails (gauss path required; estimator must be
+    exact/hutchinson)."""
+    from ti_tpu.config import MDQM9Config
+    from ti_tpu.sampling.drivers import _div_drift_of
+
+    model, params, template, *_ = setup
+    base = dict(
+        divergence="hutchinson", num_probes=4, probe_mode="rademacher",
+        dlogp_quad="gauss", dlogp_quad_points=3, steps_per_dispatch=4,
+        return_dlogp=True,
+    )
+    assert _div_drift_of(
+        MDQM9Config(**base), model, params, template
+    ) is None  # default impl
+
+    cfg = MDQM9Config(div_forward_impl="pair_tangent", **base)
+    assert callable(_div_drift_of(cfg, model, params, template))
+
+    cfg_exact = MDQM9Config(
+        div_forward_impl="pair_tangent",
+        **{**base, "divergence": "exact"},
+    )
+    assert callable(_div_drift_of(cfg_exact, model, params, template))
+
+    with pytest.raises(ValueError, match="unknown div_forward_impl"):
+        _div_drift_of(
+            MDQM9Config(div_forward_impl="bogus", **base),
+            model, params, template,
+        )
+    with pytest.raises(ValueError, match="gauss"):
+        _div_drift_of(
+            MDQM9Config(
+                div_forward_impl="pair_tangent",
+                **{**base, "dlogp_quad_points": 0},
+            ),
+            model, params, template,
+        )
+    with pytest.raises(ValueError, match="does not support"):
+        _div_drift_of(
+            MDQM9Config(
+                div_forward_impl="pair_tangent",
+                **{**base, "divergence": "hutchpp"},
+            ),
+            model, params, template,
+        )
+
+
 def test_bf16_profile_smoke(setup):
     model, params, template, x, t, temps = setup
     k_lanes = 3

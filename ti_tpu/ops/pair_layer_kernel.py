@@ -187,10 +187,152 @@ def _pair_layer_kernel(
     e_out_ref[0] = e + de
 
 
+def _pair_layer_kernel_cb(
+    n: int,
+    f: int,
+    c: int,
+    length_scale: float,
+    bf16: bool,
+    x_ref,      # (1, c*Np, 128)  positions, chains stacked (always f32)
+    s_ref,      # (1, c*Np, F)
+    v_ref,      # (1, c*3*Np, F)  component-major [x;y;z] per chain
+    e_ref,      # (1, c*Pp, F)    row-major p = i*N + j per chain
+    *refs,      # 20 weight refs (phi, w), then outputs
+):
+    """Chain-blocked pair layer: C chains per grid step (VERDICT r4 weak
+    #2 — amortize per-step overhead / widen the dots at SDE batch sizes).
+
+    Same math as ``_pair_layer_kernel``; the per-chain broadcast patterns
+    (tile/repeat/aggregate/component-slice) become iota-built SELECTION
+    MATMULS over the chain-stacked row layout, so every tensor stays 2-D
+    and every data movement is an MXU dot:
+
+    - ``Tsrc/Tdst`` (cPp, cNp): pair row (q, i, j) <- node row (q, j) /
+      (q, i) — builds r, s_src, v_src;
+    - ``S`` (cNp, cPp): dst aggregation (the C=1 kernel's S, block-diag
+      over chains);
+    - ``Sel_c`` (cNp, c3Np): component c of the chain-stacked v.
+    """
+    phi = MLPWeights(*(r[:] for r in refs[:10]))
+    w = MLPWeights(*(r[:] for r in refs[10:20]))
+    dv_ref, ds_ref, e_out_ref = refs[20], refs[21], refs[22]
+    mlp = _mlp_block_bf16_kernel if bf16 else _mlp_block
+
+    cnp, cpp = s_ref.shape[1], e_ref.shape[1]
+    np_, pp = cnp // c, cpp // c
+    x = x_ref[0]          # (cNp, 128) f32
+    s = s_ref[0]          # (cNp, F)
+    e = e_ref[0]          # (cPp, F)
+    v = v_ref[0]          # (c3Np, F)
+    wd = s.dtype
+
+    # pair-row bookkeeping: q = chain, within-chain p = i*n + j
+    prow = jax.lax.broadcasted_iota(jnp.int32, (cpp, 1), 0)
+    q = prow // pp
+    within = prow - q * pp
+    i_idx = within // n
+    j_idx = within - i_idx * n
+    active = jnp.logical_and(i_idx != j_idx, within < n * n)
+    mask = active.astype(wd)                                  # (cPp, 1)
+
+    # node-row <-> pair-row selection matrices
+    pr = jax.lax.broadcasted_iota(jnp.int32, (cpp, cnp), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (cpp, cnp), 1)
+    pq = pr // pp
+    pw = pr - pq * pp
+    pi = pw // n
+    pj = pw - pi * n
+    nq = pc // np_
+    ni = pc - nq * np_
+    same_chain = jnp.logical_and(pq == nq, pw < n * n)
+    Tsrc = jnp.logical_and(same_chain, pj == ni).astype(wd)   # (cPp, cNp)
+    Tdst = jnp.logical_and(same_chain, pi == ni).astype(wd)
+
+    def to_pairs(nodes, T):  # (cNp, W) -> (cPp, W)
+        return jax.lax.dot(T, nodes.astype(T.dtype),
+                           preferred_element_type=jnp.float32).astype(nodes.dtype)
+
+    # dst aggregation (transpose structure of Tdst)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (cnp, cpp), 0)
+    ac = jax.lax.broadcasted_iota(jnp.int32, (cnp, cpp), 1)
+    aq = ar // np_
+    ai = ar - aq * np_
+    cq = ac // pp
+    cw = ac - cq * pp
+    S = jnp.logical_and(
+        jnp.logical_and(aq == cq, cw < n * n), cw // n == ai
+    ).astype(wd)                                              # (cNp, cPp)
+
+    def agg(rows):  # (cPp, F) -> (cNp, F), f32 accumulation
+        return jax.lax.dot(S, rows, preferred_element_type=jnp.float32)
+
+    # component selection of the chain-stacked component-major v
+    vr = jax.lax.broadcasted_iota(jnp.int32, (cnp, 3 * cnp), 0)
+    vc_ = jax.lax.broadcasted_iota(jnp.int32, (cnp, 3 * cnp), 1)
+    vq = vr // np_
+    vi = vr - vq * np_
+    wq = vc_ // (3 * np_)
+    wrem = vc_ - wq * (3 * np_)
+
+    def comp(v_all, cc):  # (c3Np, F) -> (cNp, F): component cc rows
+        Sel = jnp.logical_and(vq == wq, wrem == cc * np_ + vi).astype(wd)
+        return jax.lax.dot(Sel, v_all.astype(wd),
+                           preferred_element_type=jnp.float32).astype(v_all.dtype)
+
+    # geometry from positions (f32)
+    x_src = to_pairs(x, Tsrc.astype(jnp.float32))
+    x_dst = to_pairs(x, Tdst.astype(jnp.float32))
+    r = x_src - x_dst                                         # (cPp, 128)
+    d2 = r[:, 0:1] ** 2 + r[:, 1:2] ** 2 + r[:, 2:3] ** 2
+    dist = jnp.sqrt(d2)
+    inv = 1.0 / (1.0 + dist)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cpp, f), 1)
+    rank = (lane // 2 + 1).astype(jnp.float32)
+    ang = dist * rank * (math.pi / length_scale)
+    pe = jnp.where(lane % 2 == 0, jnp.cos(ang), jnp.sin(ang)).astype(wd)
+
+    s_src = to_pairs(s, Tsrc)
+    h = mlp(jnp.concatenate([s_src, e], axis=-1), phi) * mlp(pe, w)
+    h = h * mask                                              # (cPp, 5F)
+    gates = h[:, 0 * f: 1 * f]
+    scale_dir = h[:, 1 * f: 2 * f]
+    ds = h[:, 2 * f: 3 * f]
+    de = h[:, 3 * f: 4 * f]
+    cg = h[:, 4 * f: 5 * f]
+
+    out_cols = []
+    t_cg = []
+    vcomps = []
+    for cc in range(3):
+        vcn = comp(v, cc)                                     # (cNp, F)
+        vcomps.append(vcn)
+        vc_src = to_pairs(vcn, Tsrc)
+        dir_c = (r[:, cc: cc + 1] * inv).astype(wd)
+        out_cols.append(agg(gates * vc_src + scale_dir * dir_c))
+        t_cg.append(agg(cg * dir_c))                          # (cNp, F) f32
+
+    vx, vy, vz = (vv.astype(jnp.float32) for vv in vcomps)
+    cx = t_cg[1] * vz - t_cg[2] * vy
+    cy = t_cg[2] * vx - t_cg[0] * vz
+    cz = t_cg[0] * vy - t_cg[1] * vx
+
+    dv_ref[0] = jnp.concatenate(
+        [out_cols[0] + cx, out_cols[1] + cy, out_cols[2] + cz], axis=-1
+    )  # (cNp, 3F), lanes [x | y | z]
+    ds_ref[0] = agg(ds)
+    e_out_ref[0] = e + de
+
+
 @functools.lru_cache(maxsize=None)
 def _build_pair_layer(n: int, f: int, np_: int, pp: int, length_scale: float,
-                      interpret: bool, bf16: bool = False):
-    kern = functools.partial(_pair_layer_kernel, n, f, length_scale, bf16)
+                      interpret: bool, bf16: bool = False,
+                      chain_block: int = 1):
+    c = chain_block
+    if c > 1:
+        kern = functools.partial(_pair_layer_kernel_cb, n, f, c, length_scale, bf16)
+    else:
+        kern = functools.partial(_pair_layer_kernel, n, f, length_scale, bf16)
 
     def chain_spec(rows, width):
         return pl.BlockSpec((1, rows, width), lambda b: (b, 0, 0),
@@ -202,35 +344,49 @@ def _build_pair_layer(n: int, f: int, np_: int, pp: int, length_scale: float,
 
     def call(x_pad, s_pad, v_pad, e_pad, phi: MLPWeights, w: MLPWeights):
         b = x_pad.shape[0]
+        pad_b = _round_up(b, c) - b
+        if pad_b:
+            x_pad, s_pad, v_pad, e_pad = (
+                jnp.concatenate([a, jnp.repeat(a[-1:], pad_b, axis=0)])
+                for a in (x_pad, s_pad, v_pad, e_pad)
+            )
+        bb = b + pad_b
+
+        def stack(a):  # (B, rows, W) -> (B/c, c*rows, W)
+            return a.reshape(bb // c, c * a.shape[1], a.shape[2])
 
         def as2d(a):
             return a[None, :] if a.ndim == 1 else a
 
         phi2 = MLPWeights(*(as2d(a) for a in phi))
         w2 = MLPWeights(*(as2d(a) for a in w))
-        return pl.pallas_call(
+        dv, ds, e_out = pl.pallas_call(
             kern,
-            grid=(b,),
+            grid=(bb // c,),
             in_specs=[
-                chain_spec(np_, 128),      # x
-                chain_spec(np_, f),        # s
-                chain_spec(3 * np_, f),    # v
-                chain_spec(pp, f),         # e
+                chain_spec(c * np_, 128),      # x
+                chain_spec(c * np_, f),        # s
+                chain_spec(c * 3 * np_, f),    # v
+                chain_spec(c * pp, f),         # e
             ] + [weight_spec(t.shape) for t in (*phi2, *w2)],
             out_specs=[
-                chain_spec(np_, 3 * f),    # dv
-                chain_spec(np_, f),        # ds
-                chain_spec(pp, f),         # e_out
+                chain_spec(c * np_, 3 * f),    # dv
+                chain_spec(c * np_, f),        # ds
+                chain_spec(c * pp, f),         # e_out
             ],
             out_shape=[
                 # dv/ds are aggregated in f32 (dot accumulation); e_out
                 # follows the carried pair-feature dtype (bf16 profile)
-                jax.ShapeDtypeStruct((b, np_, 3 * f), x_pad.dtype),
-                jax.ShapeDtypeStruct((b, np_, f), x_pad.dtype),
-                jax.ShapeDtypeStruct((b, pp, f), e_pad.dtype),
+                jax.ShapeDtypeStruct((bb // c, c * np_, 3 * f), x_pad.dtype),
+                jax.ShapeDtypeStruct((bb // c, c * np_, f), x_pad.dtype),
+                jax.ShapeDtypeStruct((bb // c, c * pp, f), e_pad.dtype),
             ],
             interpret=interpret,
-        )(x_pad, s_pad, v_pad, e_pad, *phi2, *w2)
+        )(stack(x_pad), stack(s_pad), stack(v_pad), stack(e_pad), *phi2, *w2)
+        dv = dv.reshape(bb, np_, 3 * f)[:b]
+        ds = ds.reshape(bb, np_, f)[:b]
+        e_out = e_out.reshape(bb, pp, f)[:b]
+        return dv, ds, e_out
 
     return call
 
@@ -246,6 +402,7 @@ def apply_dense_pair_kernel(
     *,
     interpret: bool = False,
     compute_dtype=None,
+    chain_block: int = 1,
 ) -> Array:
     """Batched velocity field with the fused pair-layer kernel.
 
@@ -264,6 +421,12 @@ def apply_dense_pair_kernel(
     BASELINE.md round-4 rows) — bf16_agg is the dependable large-capacity
     profile. Positions, aggregation outputs and the returned velocity
     stay f32.
+
+    ``chain_block`` processes that many chains per Pallas grid step
+    (``_pair_layer_kernel_cb``): per-step overhead is amortized and every
+    dot gets chain_block× the rows — the VERDICT-r4 exploration axis for
+    the SDE path's ~13% MXU utilization. VMEM working set scales ~linearly
+    with the block; 1 = the original per-chain kernel.
     """
     import numpy as np
 
@@ -329,7 +492,8 @@ def apply_dense_pair_kernel(
     s = jnp.pad(c(s), ((0, 0), (0, np_ - n), (0, 0)))
 
     layer_call = _build_pair_layer(
-        n, f, np_, pp, float(model.length_scale), interpret, bf16
+        n, f, np_, pp, float(model.length_scale), interpret, bf16,
+        int(chain_block),
     )
 
     for layer in range(model.score_layers):
@@ -383,6 +547,7 @@ def pair_kernel_drift(
     *,
     compute_dtype=None,
     interpret: bool = False,
+    chain_block: int = 1,
 ):
     """Batched drift ``(xs (B,N,3), t, temps (B,K)) -> (B,N,3)`` through the
     fused pair-layer kernel — the production builder for the SDE drift and
@@ -396,6 +561,7 @@ def pair_kernel_drift(
         return apply_dense_pair_kernel(
             model, params, xs, tb, temps, template.atom_ids, template.edges,
             interpret=interpret, compute_dtype=compute_dtype,
+            chain_block=chain_block,
         )
 
     return drift

@@ -1029,6 +1029,7 @@ def sample_molecular_sde(
     n_save: int = 2,
     compute_dtype=None,
     forward_impl: str = "dense",
+    chain_block: int = 1,
 ):
     """Batched Euler–Maruyama transport (no dlogp); noise is COM-projected
     to stay on the zero-COM manifold the GNN was trained on.
@@ -1045,7 +1046,8 @@ def sample_molecular_sde(
     ``compute_dtype`` must then be None (f32) or "bf16_agg" (the bf16 VMEM
     kernel profile — the dependable variant at 10506 capacity, where the
     f32 working set sits near the VMEM ceiling and has failed the remote
-    compile under load).
+    compile under load). ``chain_block`` (pair_kernel only) processes that
+    many chains per Pallas grid step (ops/pair_layer_kernel.py).
     """
     from ti_tpu.models.cpainn_dense import dense_velocity_fn
 
@@ -1055,7 +1057,8 @@ def sample_molecular_sde(
         from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
 
         drift = pair_kernel_drift(
-            model, params, template, compute_dtype=compute_dtype
+            model, params, template, compute_dtype=compute_dtype,
+            chain_block=chain_block,
         )
     elif forward_impl == "dense":
         drift = dense_velocity_fn(model, params, template, compute_dtype=compute_dtype)
