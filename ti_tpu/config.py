@@ -340,9 +340,11 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
             # Qualified at 00031 capacity (dF err 0.044 / ESS 21.8% ==
             # the default trajectory's 0.037 / 21.8% on the trained oracle,
             # BASELINE.md round-4 row). At 10506 capacity the f32 kernel
-            # exceeds VMEM; the bf16 variant is pending its own capacity
-            # qualification — default stays until then.
-            traj_forward_impl="default" if large else "pair_kernel",
+            # sits at the VMEM ceiling; the bf16-VMEM variant is the
+            # round-5-QUALIFIED choice there (dF err 0.347 / ESS 9.8% vs
+            # the field's exact floor 0.397 / 10.5% on the trained
+            # 29-atom/F=256 oracle — BASELINE.md round-5 10506 rows).
+            traj_forward_impl="pair_kernel_bf16" if large else "pair_kernel",
         )
     elif family == "latent":
         prof = dict(
