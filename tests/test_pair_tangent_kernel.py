@@ -43,14 +43,15 @@ def setup():
     return model, params, template, x, t, temps
 
 
-def test_primal_and_jvp_parity_vs_dense(setup):
+@pytest.mark.parametrize("lane_block", [1, 2, 4])
+def test_primal_and_jvp_parity_vs_dense(setup, lane_block):
     model, params, template, x, t, temps = setup
     k_lanes = 4
     z = jax.random.normal(jax.random.PRNGKey(3), (B, k_lanes, N_ATOMS, 3))
 
     vel, dvel = apply_dense_pair_tangent(
         model, params, x, t, temps, z, template.atom_ids, template.edges,
-        interpret=True,
+        interpret=True, lane_block=lane_block,
     )
 
     v_fn = dense_velocity_fn(model, params, template)

@@ -12,24 +12,26 @@ mdqm9/thermo/ambient/models/ode_wrapper.py:60-91).
 
 This kernel extends the fused pair-layer kernel (ops/pair_layer_kernel.py,
 the 1.65-2x SDE win) to forward-mode: one Pallas grid runs (chain b,
-lane k) with k fastest, where
+lane-block kb) with kb fastest, where
 
-- k = 0 computes the PRIMAL message layer exactly like the pair-layer
+- kb = 0 computes the PRIMAL message layer exactly like the pair-layer
   kernel and leaves the tangent-replay residuals (pre-LN dots of both
   message MLPs, both 5F outputs, the masked product, pair geometry, the
   d(positional-encoding)/d(dist) factor, and the chirality aggregate) in
   VMEM scratch;
-- k = 1..K replay ONE tangent lane each through the stored residuals:
-  geometry tangents (dr -> ddist -> ddir/dpe), both MLP tangent chains
-  (dots only — LN/SiLU derivatives recomputed from the stored pre-LN
-  dots, cheap VPU work), the product rule on the stored 5F outputs, and
-  the tangent aggregations/chirality — all in VMEM.
+- kb = 1..K/L replay a BLOCK of L tangent lanes from the stored
+  residuals: per-lane geometry tangents (dr -> ddist -> ddir/dpe) feed
+  lane-stacked (L*Pp, .) MLP tangent chains — the dots run JOINTLY over
+  the block (L x the rows per MXU dot, 1/L the per-step pipeline
+  overhead; the round-5 probe-scaling measurement showed per-lane cost
+  is what bounds the node), then the product rule / aggregations /
+  chirality run per lane on the stored primals.
 
 Because the chain-indexed inputs (x, s, v, e, weights) use index maps
-that ignore k, Pallas keeps their blocks resident across the K+1 lane
-steps of a chain (block revisiting): HBM traffic per chain-layer is the
-primal once plus K *lane-sized* tangent streams — the residual re-reads
-that bound the XLA path never happen.
+that ignore kb, Pallas keeps their blocks resident across the lane steps
+of a chain (block revisiting): HBM traffic per chain-layer is the primal
+once plus K *lane-sized* tangent streams — the residual re-reads that
+bound the XLA path never happen.
 
 The cheap O(N)-row segments (node-update layers, readout) stay in XLA as
 a lane-broadcast hand-JVP (`_mlp_block_jvp` broadcasts a (B, K, ...)
@@ -74,6 +76,7 @@ def _round_up(x: int, m: int) -> int:
 def _pair_tangent_kernel(
     n: int,
     f: int,
+    lane_block: int,
     length_scale: float,
     bf16: bool,
     # inputs (chain-resident across lane steps)
@@ -81,18 +84,20 @@ def _pair_tangent_kernel(
     s_ref,       # (1, Np, F)     invariant node features (wd)
     v_ref,       # (1, 3*Np, F)   equivariant features, component-major (wd)
     e_ref,       # (1, Pp, F)     pair features, row-major p = i*N + j (wd)
-    # tangent inputs (streamed per lane step; lane 0 is a dummy block)
-    dx_ref,      # (1, 1, Np, 128)
-    ds_ref,      # (1, 1, Np, F)
-    dv_ref,      # (1, 1, 3*Np, F)
-    de_ref,      # (1, 1, Pp, F)
-    *refs,       # 20 weight refs, 3 outputs, then scratch
+    # tangent inputs (streamed per lane-block step; kb=0 fetch is unused)
+    dx_ref,      # (1, L, Np, 128)
+    ds_ref,      # (1, L, Np, F)
+    dv_ref,      # (1, L, 3*Np, F)
+    de_ref,      # (1, L, Pp, F)
+    *refs,       # 20 weight refs, 6 outputs, then scratch
 ):
+    L = lane_block
     phi = MLPWeights(*(r[:] for r in refs[:10]))
     w = MLPWeights(*(r[:] for r in refs[10:20]))
-    dvout_ref, dsout_ref, eout_ref = refs[20], refs[21], refs[22]
+    (dvp_ref, dsp_ref, ep_ref,          # primal outputs (written at kb=0)
+     dvt_ref, dst_ref, et_ref) = refs[20:26]   # tangent outputs (kb>0)
     (r_ref, aux_ref, pefac_ref, h1p_ref, h2p_ref, outp_ref,
-     h1w_ref, h2w_ref, outw_ref, hmask_ref, tcg_ref) = refs[23:]
+     h1w_ref, h2w_ref, outw_ref, hmask_ref, tcg_ref) = refs[26:]
 
     k = pl.program_id(1)
     wd = jnp.bfloat16 if bf16 else jnp.float32
@@ -150,7 +155,7 @@ def _pair_tangent_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (pp, f), 1)
     rank = (lane // 2 + 1).astype(jnp.float32)
 
-    # ---------------- primal (k == 0): compute + stash residuals ---------
+    # ---------------- primal (kb == 0): compute + stash residuals --------
     @pl.when(k == 0)
     def _primal():
         s = s_ref[0][:n]
@@ -227,45 +232,40 @@ def _pair_tangent_kernel(
         cy = t_cg[2] * vx - t_cg[0] * vz
         cz = t_cg[0] * vy - t_cg[1] * vx
 
-        dvout_ref[0, 0] = jnp.concatenate(
+        dvp_ref[0] = jnp.concatenate(
             [out_cols[0] + cx, out_cols[1] + cy, out_cols[2] + cz], axis=-1
         )
-        dsout_ref[0, 0] = agg(ds_h)
-        eout_ref[0, 0] = e + de_h
+        dsp_ref[0] = agg(ds_h)
+        ep_ref[0] = e + de_h
 
-    # ---------------- tangent lanes (k > 0): replay from scratch ---------
+    # ------------- tangent lane blocks (kb > 0): replay from scratch -----
     @pl.when(k > 0)
     def _tangent():
-        dxs = dx_ref[0, 0][:n]                                 # (N, 128) f32
-        dsl = ds_ref[0, 0][:n]                                 # (N, F) wd
-        dvl = dv_ref[0, 0]                                     # (3Np, F) wd
-        del_ = de_ref[0, 0]                                    # (Pp, F) wd
-
         r = r_ref[:]
         aux = aux_ref[:]
-        dist_col = aux[:, 0:1]
         inv = aux[:, 1:2]
         sid = aux[:, 2:3]
         maskf = aux[:, 3:4]
-        del dist_col  # dist itself is not needed in the tangent chain
+        maskw = maskf.astype(wd)
+        pefac = pefac_ref[:]
+        outp = outp_ref[:]
+        outw = outw_ref[:]
+        h = hmask_ref[:]
+        gates = h[:, 0 * f: 1 * f]
+        scale_dir = h[:, 1 * f: 2 * f]
+        cg = h[:, 4 * f: 5 * f]
+        tcg = tcg_ref[:]
+        t0, t1, t2 = (tcg[:, c * f: (c + 1) * f] for c in range(3))
+        v = v_ref[0]
+        vx, vy, vz = (
+            v[c * np_: (c + 1) * np_].astype(jnp.float32) for c in range(3)
+        )
 
-        dr = pad_rows(tile_rows(dxs) - repeat_rows(dxs))       # (Pp, 128) f32
-        ddist = (
-            r[:, 0:1] * dr[:, 0:1]
-            + r[:, 1:2] * dr[:, 1:2]
-            + r[:, 2:3] * dr[:, 2:3]
-        ) * sid                                                # (Pp, 1) f32
-        dinv = -(inv * inv) * ddist
-
-        dpe = pefac_ref[:] * ddist.astype(wd)                  # (Pp, F)
-        ds_src = pad_rows(tile_rows(dsl))
-        din = jnp.concatenate([ds_src, del_], axis=-1)         # (Pp, 2F)
-
-        def ln_silu_tan(h, dh, scale, bias_):
-            # tangent of LN(+affine)->SiLU at the stored pre-LN primal h;
-            # statistics recomputed f32 from the stored dot (the same
-            # recompute-over-residuals trade _ln_silu_jvp makes)
-            h32 = h.astype(jnp.float32)
+        def ln_silu_tan(hp, dh, scale, bias_):
+            # tangent of LN(+affine)->SiLU at the stored pre-LN primal hp
+            # (tiled x L); statistics recomputed f32 per row — the same
+            # recompute-over-residuals trade _ln_silu_jvp makes
+            h32 = hp.astype(jnp.float32)
             dh32 = dh.astype(jnp.float32)
             mu = jnp.mean(h32, axis=-1, keepdims=True)
             cen = h32 - mu
@@ -280,71 +280,106 @@ def _pair_tangent_kernel(
             l = xhat * scale + bias_
             sig = jax.nn.sigmoid(l)
             da = sig * (1.0 + l * (1.0 - sig)) * dl
-            return da.astype(h.dtype)
+            return da.astype(hp.dtype)
+
+        def tile_l(a):  # (Pp, W) -> (L*Pp, W): broadcast a primal over lanes
+            if L == 1:
+                return a
+            return jnp.concatenate([a] * L, axis=0)
 
         def mlp_tan(dxrow, wts, h1, h2):
+            # lane-stacked tangent replay: dots run jointly over L*Pp rows
             dh1 = dot(dxrow, wts.w1)
-            da1 = ln_silu_tan(h1, dh1, wts.ln1_scale, wts.ln1_bias)
+            da1 = ln_silu_tan(tile_l(h1), dh1, wts.ln1_scale, wts.ln1_bias)
             dh2 = dot(da1, wts.w2)
-            da2 = ln_silu_tan(h2, dh2, wts.ln2_scale, wts.ln2_bias)
+            da2 = ln_silu_tan(tile_l(h2), dh2, wts.ln2_scale, wts.ln2_bias)
             return dot(da2, wts.w3)
 
-        dp = mlp_tan(din, phi, h1p_ref[:], h2p_ref[:])         # (Pp, 5F)
+        # per-lane geometry tangents -> lane-stacked MLP inputs. The L
+        # lanes arrive stacked along the ROW axis of each block
+        # ((1, 1, L*rows, W) — see the builder's `blocked` reshape).
+        dx_all = dx_ref[0, 0]                                  # (L*Np, 128)
+        ds_all_in = ds_ref[0, 0]                               # (L*Np, F)
+        dv_all_in = dv_ref[0, 0]                               # (L*3Np, F)
+        de_all_in = de_ref[0, 0]                               # (L*Pp, F)
+        din_parts, dpe_parts, geo = [], [], []
+        for l in range(L):
+            dxs = dx_all[l * np_: l * np_ + n]                 # (N, 128) f32
+            dsl = ds_all_in[l * np_: l * np_ + n]              # (N, F) wd
+            del_ = de_all_in[l * pp: (l + 1) * pp]             # (Pp, F) wd
+            dr = pad_rows(tile_rows(dxs) - repeat_rows(dxs))   # (Pp, 128) f32
+            ddist = (
+                r[:, 0:1] * dr[:, 0:1]
+                + r[:, 1:2] * dr[:, 1:2]
+                + r[:, 2:3] * dr[:, 2:3]
+            ) * sid                                            # (Pp, 1) f32
+            dinv = -(inv * inv) * ddist
+            din_parts.append(jnp.concatenate(
+                [pad_rows(tile_rows(dsl)), del_], axis=-1))    # (Pp, 2F)
+            dpe_parts.append(pefac * ddist.astype(wd))         # (Pp, F)
+            geo.append((dr, dinv, del_))
+
+        din = din_parts[0] if L == 1 else jnp.concatenate(din_parts, axis=0)
+        dpe = dpe_parts[0] if L == 1 else jnp.concatenate(dpe_parts, axis=0)
+        dp = mlp_tan(din, phi, h1p_ref[:], h2p_ref[:])         # (L*Pp, 5F)
         dq = mlp_tan(dpe, w, h1w_ref[:], h2w_ref[:])
-        maskw = maskf.astype(wd)
-        dh = (dp * outw_ref[:] + outp_ref[:] * dq) * maskw
 
-        dgates = dh[:, 0 * f: 1 * f]
-        dscale_dir = dh[:, 1 * f: 2 * f]
-        dds = dh[:, 2 * f: 3 * f]
-        dde = dh[:, 3 * f: 4 * f]
-        dcg = dh[:, 4 * f: 5 * f]
+        # product rule + aggregations + chirality per lane (primal factors
+        # are NOT tiled — each lane multiplies against the stored primals)
+        for l in range(L):
+            dr, dinv, del_ = geo[l]
+            dvl = dv_all_in[l * 3 * np_: (l + 1) * 3 * np_]    # (3Np, F) wd
+            dh = (dp[l * pp:(l + 1) * pp] * outw
+                  + outp * dq[l * pp:(l + 1) * pp]) * maskw
+            dgates = dh[:, 0 * f: 1 * f]
+            dscale_dir = dh[:, 1 * f: 2 * f]
+            dds = dh[:, 2 * f: 3 * f]
+            dde = dh[:, 3 * f: 4 * f]
+            dcg = dh[:, 4 * f: 5 * f]
 
-        h = hmask_ref[:]
-        gates = h[:, 0 * f: 1 * f]
-        scale_dir = h[:, 1 * f: 2 * f]
-        cg = h[:, 4 * f: 5 * f]
+            dout_cols = []
+            dt_cg = []
+            for c in range(3):
+                vc_src = pad_rows(tile_rows(v[c * np_: (c + 1) * np_][:n]))
+                dvc_src = pad_rows(tile_rows(dvl[c * np_: (c + 1) * np_][:n]))
+                dir_c = (r[:, c: c + 1] * inv).astype(wd)
+                ddir_c = (dr[:, c: c + 1] * inv
+                          + r[:, c: c + 1] * dinv).astype(wd)
+                dout_cols.append(
+                    agg(dgates * vc_src + gates * dvc_src
+                        + dscale_dir * dir_c + scale_dir * ddir_c)
+                )
+                dt_cg.append(agg(dcg * dir_c + cg * ddir_c))   # (Np, F) f32
 
-        v = v_ref[0]
-        dout_cols = []
-        dt_cg = []
-        for c in range(3):
-            vc_src = pad_rows(tile_rows(v[c * np_: (c + 1) * np_][:n]))
-            dvc_src = pad_rows(tile_rows(dvl[c * np_: (c + 1) * np_][:n]))
-            dir_c = (r[:, c: c + 1] * inv).astype(wd)
-            ddir_c = (dr[:, c: c + 1] * inv + r[:, c: c + 1] * dinv).astype(wd)
-            dout_cols.append(
-                agg(dgates * vc_src + gates * dvc_src
-                    + dscale_dir * dir_c + scale_dir * ddir_c)
+            dvx, dvy, dvz = (
+                dvl[c * np_: (c + 1) * np_].astype(jnp.float32)
+                for c in range(3)
             )
-            dt_cg.append(agg(dcg * dir_c + cg * ddir_c))       # (Np, F) f32
+            dcx = dt_cg[1] * vz + t1 * dvz - dt_cg[2] * vy - t2 * dvy
+            dcy = dt_cg[2] * vx + t2 * dvx - dt_cg[0] * vz - t0 * dvz
+            dcz = dt_cg[0] * vy + t0 * dvy - dt_cg[1] * vx - t1 * dvx
 
-        tcg = tcg_ref[:]
-        t0, t1, t2 = (tcg[:, c * f: (c + 1) * f] for c in range(3))
-        vx, vy, vz = (
-            v[c * np_: (c + 1) * np_].astype(jnp.float32) for c in range(3)
-        )
-        dvx, dvy, dvz = (
-            dvl[c * np_: (c + 1) * np_].astype(jnp.float32) for c in range(3)
-        )
-        dcx = dt_cg[1] * vz + t1 * dvz - dt_cg[2] * vy - t2 * dvy
-        dcy = dt_cg[2] * vx + t2 * dvx - dt_cg[0] * vz - t0 * dvz
-        dcz = dt_cg[0] * vy + t0 * dvy - dt_cg[1] * vx - t1 * dvx
-
-        dvout_ref[0, 0] = jnp.concatenate(
-            [dout_cols[0] + dcx, dout_cols[1] + dcy, dout_cols[2] + dcz],
-            axis=-1,
-        )
-        dsout_ref[0, 0] = agg(dds)
-        eout_ref[0, 0] = del_ + dde
+            dvt_ref[0, 0, l * np_: (l + 1) * np_] = jnp.concatenate(
+                [dout_cols[0] + dcx, dout_cols[1] + dcy, dout_cols[2] + dcz],
+                axis=-1,
+            )
+            dst_ref[0, 0, l * np_: (l + 1) * np_] = agg(dds)
+            et_ref[0, 0, l * pp: (l + 1) * pp] = del_ + dde
 
 
 @functools.lru_cache(maxsize=None)
 def _build_pair_tangent_layer(
-    n: int, f: int, np_: int, pp: int, k_lanes: int, length_scale: float,
-    interpret: bool, bf16: bool,
+    n: int, f: int, np_: int, pp: int, k_lanes: int, lane_block: int,
+    length_scale: float, interpret: bool, bf16: bool,
 ):
-    kern = functools.partial(_pair_tangent_kernel, n, f, length_scale, bf16)
+    if k_lanes % lane_block != 0:
+        raise ValueError(
+            f"lane_block {lane_block} must divide num_probes {k_lanes}"
+        )
+    L = lane_block
+    kern = functools.partial(
+        _pair_tangent_kernel, n, f, L, length_scale, bf16
+    )
     wd = jnp.bfloat16 if bf16 else jnp.float32
 
     def chain_spec(rows, width):
@@ -352,8 +387,13 @@ def _build_pair_tangent_layer(
                             memory_space=pltpu.VMEM)
 
     def lane_spec(rows, width):
-        return pl.BlockSpec((1, 1, rows, width), lambda b, k: (b, k, 0, 0),
-                            memory_space=pltpu.VMEM)
+        # tangent arrays are (B, K/L, L*rows, width) lane-blocked; block
+        # kb-1 for tangent steps, a dummy (unused) fetch of block 0 at kb=0
+        return pl.BlockSpec(
+            (1, 1, L * rows, width),
+            lambda b, k: (b, jnp.maximum(k - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     def weight_spec(shape):
         return pl.BlockSpec(shape, lambda b, k: (0,) * len(shape),
@@ -366,11 +406,14 @@ def _build_pair_tangent_layer(
         def as2d(a):
             return a[None, :] if a.ndim == 1 else a
 
+        def blocked(a):  # (B, K, rows, W) -> (B, K/L, L*rows, W)
+            return a.reshape(b, k_lanes // L, L * a.shape[2], a.shape[3])
+
         phi2 = MLPWeights(*(as2d(a) for a in phi))
         w2 = MLPWeights(*(as2d(a) for a in w))
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kern,
-            grid=(b, k_lanes + 1),
+            grid=(b, 1 + k_lanes // L),
             in_specs=[
                 chain_spec(np_, 128),       # x
                 chain_spec(np_, f),         # s
@@ -382,14 +425,23 @@ def _build_pair_tangent_layer(
                 lane_spec(pp, f),           # de
             ] + [weight_spec(t.shape) for t in (*phi2, *w2)],
             out_specs=[
-                lane_spec(np_, 3 * f),      # dv out (lane 0 = primal)
-                lane_spec(np_, f),          # ds out
-                lane_spec(pp, f),           # e out
+                chain_spec(np_, 3 * f),     # dv primal
+                chain_spec(np_, f),         # ds primal
+                chain_spec(pp, f),          # e primal
+                lane_spec(np_, 3 * f),      # dv tangent lanes
+                lane_spec(np_, f),          # ds tangent lanes
+                lane_spec(pp, f),           # e tangent lanes
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, k_lanes + 1, np_, 3 * f), jnp.float32),
-                jax.ShapeDtypeStruct((b, k_lanes + 1, np_, f), jnp.float32),
-                jax.ShapeDtypeStruct((b, k_lanes + 1, pp, f), e_pad.dtype),
+                jax.ShapeDtypeStruct((b, np_, 3 * f), jnp.float32),
+                jax.ShapeDtypeStruct((b, np_, f), jnp.float32),
+                jax.ShapeDtypeStruct((b, pp, f), e_pad.dtype),
+                jax.ShapeDtypeStruct(
+                    (b, k_lanes // L, L * np_, 3 * f), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (b, k_lanes // L, L * np_, f), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (b, k_lanes // L, L * pp, f), e_pad.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((pp, 128), jnp.float32),   # r
@@ -405,7 +457,15 @@ def _build_pair_tangent_layer(
                 pltpu.VMEM((np_, 3 * f), jnp.float32),  # t_cg aggregate
             ],
             interpret=interpret,
-        )(x_pad, s_pad, v_pad, e_pad, dx, ds, dv, de, *phi2, *w2)
+        )(x_pad, s_pad, v_pad, e_pad,
+          blocked(dx), blocked(ds), blocked(dv), blocked(de), *phi2, *w2)
+        dvp, dsp, ep, dvt, dst, et = outs
+
+        def unblocked(a, rows):  # (B, K/L, L*rows, W) -> (B, K, rows, W)
+            return a.reshape(b, k_lanes, rows, a.shape[3])
+
+        return (dvp, dsp, ep,
+                unblocked(dvt, np_), unblocked(dst, np_), unblocked(et, pp))
 
     return call
 
@@ -416,6 +476,13 @@ def _mlp_jvp_lanes(x, dx, w: MLPWeights):
     the K tangent lanes ride the broadcast (`_mlp_block_jvp` is written on
     the trailing axis, so it broadcasts cleanly)."""
     return _mlp_block_jvp(x[:, None], dx, w)
+
+
+def _pick_lane_block(k_lanes: int) -> int:
+    for cand in (4, 2):
+        if k_lanes % cand == 0:
+            return cand
+    return 1
 
 
 def apply_dense_pair_tangent(
@@ -430,17 +497,21 @@ def apply_dense_pair_tangent(
     *,
     interpret: bool = False,
     compute_dtype=None,
+    lane_block: int | None = None,
 ) -> tuple[Array, Array]:
     """(velocity (B,N,3), K-lane JVP (B,K,N,3)) via the tangent kernel.
 
     Forward-mode with K simultaneous tangent lanes: the message layers run
-    in the Pallas pair-tangent kernel (primal + lane replays in VMEM), the
-    O(N)-row node-update and readout segments run as a lane-broadcast
-    hand-JVP in XLA. The divergence estimate is then
+    in the Pallas pair-tangent kernel (primal + lane-block replays in
+    VMEM), the O(N)-row node-update and readout segments run as a
+    lane-broadcast hand-JVP in XLA. The divergence estimate is then
     sum_k w_k z_k . dvel_k (see ``pair_tangent_div_fn``).
 
     ``compute_dtype`` in {None (f32), "bf16_agg"} — same profiles/semantics
-    as ``apply_dense_pair_kernel``.
+    as ``apply_dense_pair_kernel``. ``lane_block`` = tangent lanes replayed
+    per Pallas grid step (must divide K; None picks the largest of 4/2/1
+    that divides) — larger blocks amortize per-step overhead and widen the
+    tangent dots at ~L x the lane-transient VMEM.
     """
     import numpy as np
 
@@ -473,6 +544,7 @@ def apply_dense_pair_tangent(
     f = model.n_features
     b, n, _ = x.shape
     k_lanes = z.shape[1]
+    L = lane_block if lane_block is not None else _pick_lane_block(k_lanes)
     align = 16 if bf16 else 8
     np_ = _round_up(n, align)
     pp = _round_up(n * n, align)
@@ -505,16 +577,15 @@ def apply_dense_pair_tangent(
     v = jnp.zeros((b, 3 * np_, f), dtype=wd)
     s = jnp.pad(c(s).astype(wd), ((0, 0), (0, np_ - n), (0, 0)))
 
-    # tangent carries, with a dummy lane 0 the kernel's primal step ignores
-    kp1 = k_lanes + 1
-    dx = jnp.zeros((b, kp1, np_, 128), jnp.float32)
-    dx = dx.at[:, 1:, :n, :3].set(z.astype(jnp.float32))
-    ds_t = jnp.zeros((b, kp1, np_, f), wd)
-    dv_t = jnp.zeros((b, kp1, 3 * np_, f), wd)
-    de_t = jnp.zeros((b, kp1, pp, f), wd)
+    # tangent carries, (B, K, rows, width)
+    dx = jnp.zeros((b, k_lanes, np_, 128), jnp.float32)
+    dx = dx.at[:, :, :n, :3].set(z.astype(jnp.float32))
+    ds_t = jnp.zeros((b, k_lanes, np_, f), wd)
+    dv_t = jnp.zeros((b, k_lanes, 3 * np_, f), wd)
+    de_t = jnp.zeros((b, k_lanes, pp, f), wd)
 
     layer_call = _build_pair_tangent_layer(
-        n, f, np_, pp, k_lanes, float(model.length_scale), interpret, bf16
+        n, f, np_, pp, k_lanes, L, float(model.length_scale), interpret, bf16
     )
 
     def to_cm(dv_lanes):  # (..., Np, 3F) lanes [x|y|z] -> component-major rows
@@ -524,18 +595,16 @@ def apply_dense_pair_tangent(
 
     for layer in range(model.score_layers):
         mp = p[f"message_{layer}"]
-        dv_all, ds_all, e_all = layer_call(
+        dv_p, ds_p, e, dv_all, ds_all, de_t = layer_call(
             x_pad, s, v, e, dx, ds_t, dv_t, de_t,
             kernel_weights(mp["phi"]), kernel_weights(mp["w"]),
         )
-        # primal carries (lane 0)
-        s = (s + ds_all[:, 0].astype(wd)).astype(wd)
-        v = (v + to_cm(dv_all[:, 0]).astype(wd)).astype(wd)
-        e = e_all[:, 0]
-        # tangent carries (lanes 1..K); keep the dummy lane 0 at zero
-        ds_t = ds_t.at[:, 1:].add(ds_all[:, 1:].astype(wd))
-        dv_t = dv_t.at[:, 1:].add(to_cm(dv_all[:, 1:]).astype(wd))
-        de_t = de_t.at[:, 1:].set(e_all[:, 1:])
+        # primal carries
+        s = (s + ds_p.astype(wd)).astype(wd)
+        v = (v + to_cm(dv_p).astype(wd)).astype(wd)
+        # tangent carries
+        ds_t = ds_t + ds_all.astype(wd)
+        dv_t = dv_t + to_cm(dv_all).astype(wd)
 
         # ---- node update (XLA, O(N) rows): lane-broadcast hand-JVP ------
         up = p[f"update_{layer}"]
@@ -543,7 +612,7 @@ def apply_dense_pair_tangent(
             [v[:, cc * np_: (cc + 1) * np_, :] for cc in range(3)], axis=-1
         ).astype(jnp.float32)                        # (B, Np, F, 3)
         dv3 = jnp.stack(
-            [dv_t[:, 1:, cc * np_: (cc + 1) * np_, :] for cc in range(3)],
+            [dv_t[:, :, cc * np_: (cc + 1) * np_, :] for cc in range(3)],
             axis=-1,
         ).astype(jnp.float32)                        # (B, K, Np, F, 3)
         u_k = up["u"]["kernel"]
@@ -557,7 +626,7 @@ def apply_dense_pair_tangent(
         dnorm = jnp.sum(vv[:, None] * dvv, axis=-1) * safe[:, None]
 
         s32 = s.astype(jnp.float32)
-        ds32 = ds_t[:, 1:].astype(jnp.float32)
+        ds32 = ds_t.astype(jnp.float32)
         hu, dhu = _mlp_jvp_lanes(
             jnp.concatenate([vv_norm, s32], axis=-1),
             jnp.concatenate([dnorm, ds32], axis=-1),
@@ -576,11 +645,11 @@ def apply_dense_pair_tangent(
             + dadd_inv
         )
         s = s_new.astype(wd)
-        ds_t = ds_t.at[:, 1:].set(ds_new.astype(wd))
+        ds_t = ds_new.astype(wd)
         v = jnp.concatenate([v3[..., cc] for cc in range(3)], axis=1).astype(wd)
-        dv_t = dv_t.at[:, 1:].set(
-            jnp.concatenate([dv3[..., cc] for cc in range(3)], axis=2).astype(wd)
-        )
+        dv_t = jnp.concatenate(
+            [dv3[..., cc] for cc in range(3)], axis=2
+        ).astype(wd)
 
     # ---- readout (XLA): lane-broadcast hand-JVP -------------------------
     ro = p["readout"]
@@ -588,10 +657,10 @@ def apply_dense_pair_tangent(
         [v[:, cc * np_: (cc + 1) * np_, :] for cc in range(3)], axis=-1
     ).astype(jnp.float32)
     dv3 = jnp.stack(
-        [dv_t[:, 1:, cc * np_: (cc + 1) * np_, :] for cc in range(3)], axis=-1
+        [dv_t[:, :, cc * np_: (cc + 1) * np_, :] for cc in range(3)], axis=-1
     ).astype(jnp.float32)
     hr, dhr = _mlp_jvp_lanes(
-        s.astype(jnp.float32), ds_t[:, 1:].astype(jnp.float32),
+        s.astype(jnp.float32), ds_t.astype(jnp.float32),
         mlp_weights_from_flax(ro["mlp"]),
     )
     hr = hr[:, 0]                                    # (B, Np, 2)
@@ -615,6 +684,7 @@ def pair_tangent_div_fn(
     probe_mode: str = "orthogonal",
     compute_dtype=None,
     interpret: bool = False,
+    lane_block: int | None = None,
 ):
     """Batched divergence-node estimator for ``make_ode_sampler(div_drift=)``.
 
@@ -624,7 +694,8 @@ def pair_tangent_div_fn(
     orthogonal frame at d/K, exact at K = 3N) and contracts the K-lane JVP
     from the pair-tangent kernel. Estimator draws differ from
     ``divergence_hutchinson`` (different key schedule), so qualification
-    goes through the physics oracle, not bitwise parity.
+    goes through the physics oracle, not bitwise parity. ``lane_block``
+    as in ``apply_dense_pair_tangent``.
     """
     from ti_tpu.ops.divergence import _probe_block
 
@@ -642,6 +713,7 @@ def pair_tangent_div_fn(
         _, dvel = apply_dense_pair_tangent(
             model, params, xs, tb, temps, zt, template.atom_ids,
             template.edges, interpret=interpret, compute_dtype=compute_dtype,
+            lane_block=lane_block,
         )
         est = jnp.sum(zt * dvel, axis=(2, 3))         # (B, K)
         return jnp.sum(wts * est, axis=1)
