@@ -307,9 +307,12 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
     - ``family="latent"`` (noise->data BG): RK4-64 (the step count the
       latent partition-identity oracle qualified,
       scripts/validate_latent_physics.py) + GL-8 dlogp, bf16 (the profile
-      the production BG->TI CLI chain ran end-to-end), bounded dispatches;
-      the divergence estimator is left at the config's value — the
-      Hutchinson probe ladder is ambient-qualified only.
+      the production BG->TI CLI chain ran end-to-end; round 5: qualified
+      at 10506 capacity too — bf16 matches f32 on the trained
+      29-atom/F=256 generator, |err| 0.355 vs 0.365 / ESS 49.6 vs 49.8%,
+      BASELINE.md latent-10506 row), bounded dispatches; the divergence
+      estimator is left at the config's value — the Hutchinson probe
+      ladder is ambient-qualified only.
 
     Explicit ``**overrides`` win over the profile.
     """

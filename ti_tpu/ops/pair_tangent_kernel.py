@@ -478,7 +478,13 @@ def _mlp_jvp_lanes(x, dx, w: MLPWeights):
     return _mlp_block_jvp(x[:, None], dx, w)
 
 
-def _pick_lane_block(k_lanes: int) -> int:
+def _pick_lane_block(k_lanes: int, bf16: bool) -> int:
+    """Default lanes-per-step: the bf16 profile fits L=4 comfortably at
+    bench capacity (measured 1.33x over L=1); the f32 profile's lane
+    transients are 2x and L=4 FAILED the remote compile at F=128 (VMEM) —
+    f32 stays at the known-compiling L=1 unless the caller overrides."""
+    if not bf16:
+        return 1
     for cand in (4, 2):
         if k_lanes % cand == 0:
             return cand
@@ -544,7 +550,7 @@ def apply_dense_pair_tangent(
     f = model.n_features
     b, n, _ = x.shape
     k_lanes = z.shape[1]
-    L = lane_block if lane_block is not None else _pick_lane_block(k_lanes)
+    L = lane_block if lane_block is not None else _pick_lane_block(k_lanes, bf16)
     align = 16 if bf16 else 8
     np_ = _round_up(n, align)
     pp = _round_up(n * n, align)
