@@ -95,6 +95,13 @@ def main(argv):
                     default="rademacher",
                     help="hutchinson probe distribution (orthogonal: Haar "
                          "frame, exact at num_probes=3N; ops/divergence.py)")
+    ap.add_argument("--probe_debias", action="store_true",
+                    help="record the per-sample probe-noise variance of the "
+                         "hutchinson dlogp (gauss path only) and ALSO report "
+                         "the log-normal-debiased oracle row (phi += var/2 "
+                         "removes the ~var/2 bias in -log E[w] — the "
+                         "documented h-K dF offset at 10506 capacity, "
+                         "BASELINE.md probe rows)")
     ap.add_argument("--probe_crn", action="store_true",
                     help="share the stochastic-divergence probes across chains "
                          "(common random numbers: the common component of the "
@@ -258,11 +265,29 @@ def main(argv):
             interpret=jax.devices()[0].platform not in ("tpu", "axon"),
         )
 
+    debias = bool(args.probe_debias)
+    if debias and not args.quad_dlogp:
+        raise SystemExit("--probe_debias requires --quad_dlogp (the gauss "
+                         "quadrature-dlogp path)")
+
     def transport(n_steps, quad, dtype_name="f32", divergence=None,
                   num_probes=None, probe_mode=None, seed=None):
         div = divergence or args.divergence
         kk = num_probes or args.num_probes
         pm = probe_mode or args.probe_mode
+        want_var = debias and quad and div == "hutchinson"
+        dd = div_drift_for(div, kk, pm) if quad else None
+        if dd is not None and want_var:
+            # rebuild with the (div, var) contract
+            from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
+
+            dd = pair_tangent_div_fn(
+                res["model"], res["params"], res["template"],
+                num_probes=kk, probe_mode=pm,
+                compute_dtype="bf16_agg" if args.div_impl.endswith("bf16") else None,
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+                return_var=True,
+            )
         sampler = make_ode_sampler(
             v_fn_of_dtype(dtype_name), solver=args.solver, n_steps=n_steps, n_save=2,
             return_dlogp=True, divergence=div,
@@ -271,10 +296,11 @@ def main(argv):
             dlogp_quad="gauss", probe_crn=args.probe_crn,
             probe_mode=pm,
             traj_drift=traj_drift if quad else None,
-            div_drift=div_drift_for(div, kk, pm) if quad else None,
+            div_drift=dd,
+            return_dlogp_var=want_var,
         )
         bs = args.eval_batch or len(x0)
-        xs, lps = [], []
+        xs, lps, lpvars = [], [], []
         for i in range(0, len(x0), bs):
             sol = sampler(
                 jnp.asarray(x0[i : i + bs]), temps_v[i : i + bs],
@@ -282,12 +308,19 @@ def main(argv):
             )
             xs.append(np.asarray(sol.xs[:, -1]))
             lps.append(np.asarray(sol.dlogp[:, -1]))
+            if want_var:
+                lpvars.append(np.asarray(sol.dlogp_var[:, -1]))
+        if want_var:
+            transport.last_var = np.concatenate(lpvars)
+        else:
+            transport.last_var = None
         return np.concatenate(xs), np.concatenate(lps)
 
     headline_dtype = (
         args.compute_dtype if args.compute_dtype in ("bf16", "bf16_agg") else "f32"
     )
     x1, dlogp = transport(args.eval_steps[0], args.quad_dlogp, headline_dtype)
+    dlogp_var = transport.last_var
     # step-count study on the SAME trained field (bench-config GL-10 path):
     # report the oracle error per step count (stderr; headline uses [0])
     extra = {}
@@ -398,6 +431,22 @@ def main(argv):
             stats.kstest(e1_o, stats.gamma(gamma_shape).cdf).statistic
         )
 
+    debias_report = {}
+    if dlogp_var is not None:
+        # log-normal probe-noise debias: phi_corr = phi + var/2 makes
+        # E[e^{-phi_corr}] unbiased for E[e^{-phi_true}] when the probe
+        # noise is ~N(0, var) independent of the sample
+        phis_c = phis + 0.5 * dlogp_var
+        mx_c = (-phis_c).max()
+        dF_c = float(-(mx_c + np.log(np.mean(np.exp(-phis_c - mx_c)))))
+        w_c = np.exp(-phis_c - mx_c)
+        ess_c = float(np.square(w_c.sum()) / np.sum(np.square(w_c)))
+        debias_report = {
+            "dF_abs_err_debiased": abs(dF_c - dF_exact),
+            "ess_frac_debiased": ess_c / len(x1),
+            "dlogp_var_mean": float(dlogp_var.mean()),
+        }
+
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_start": sigma(T0),
         "dlogp_mean": float(dlogp.mean()),
@@ -416,6 +465,7 @@ def main(argv):
         "extrapolated_T1": T1 not in train_T,
         **dtype_report,
         **sde_report,
+        **debias_report,
     }))
 
 

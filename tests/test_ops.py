@@ -279,3 +279,92 @@ def test_timing_utility():
         sw.fence(out)
     assert sw.times["mm"] > 0
     assert "mm" in sw.report()
+
+
+class TestHutchinsonVar:
+    """Probe-noise variance estimate + the log-normal debias contract
+    (ops.divergence.hutchinson_var_estimate; BASELINE.md 10506 probe-bias
+    rows — the h-K dF offset is ~var/2)."""
+
+    def _quad_field(self):
+        import jax.numpy as jnp
+
+        a = jnp.array([[2.0, 0.3], [0.3, -1.0]])
+        return lambda x: a @ x + 0.1 * x * x, 2
+
+    def test_orthogonal_full_frame_var_is_zero(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ti_tpu.ops.divergence import divergence_hutchinson
+
+        f, d = self._quad_field()
+        x = jnp.array([0.4, -0.2])
+        _, div, var = divergence_hutchinson(
+            f, x, jax.random.PRNGKey(0), num_probes=d,
+            probe_mode="orthogonal", return_var=True,
+        )
+        assert float(var) == pytest.approx(0.0, abs=1e-10)
+        # full frame = exact trace
+        assert float(div) == pytest.approx(2.0 - 1.0 + 0.2 * float(x.sum()), rel=1e-5)
+
+    def test_rademacher_var_calibrated(self):
+        """Across seeds, the observed scatter of the estimator must match
+        the mean plug-in variance (the whole debias premise)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ti_tpu.ops.divergence import divergence_hutchinson
+
+        d = 12
+        a = jax.random.normal(jax.random.PRNGKey(3), (d, d)) / np.sqrt(d)
+        f = lambda x: a @ x
+        x = jnp.zeros((d,))
+        divs, vars_ = [], []
+        for s in range(200):
+            _, dv, vr = divergence_hutchinson(
+                f, x, jax.random.PRNGKey(s), num_probes=4, return_var=True
+            )
+            divs.append(float(dv))
+            vars_.append(float(vr))
+        emp = np.var(divs)
+        plug = np.mean(vars_)
+        assert emp == pytest.approx(plug, rel=0.35)  # 200-seed statistics
+
+    def test_sampler_dlogp_var_plumbed(self):
+        """make_ode_sampler(return_dlogp_var=True) fills ODESolution.
+        dlogp_var: nonnegative, cumulative, and ~the dlogp scatter across
+        probe seeds."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ti_tpu.data.mdqm9 import graph_template, make_synthetic_molecule
+        from ti_tpu.models.cpainn import CPaiNN
+        from ti_tpu.sampling.drivers import make_ode_sampler, molecular_v_fn_of
+
+        mol = make_synthetic_molecule(n_atoms=4, seed=0)
+        template = graph_template(mol, t_cond=2)
+        model = CPaiNN(n_features=8, score_layers=1, conditioning="ambient")
+        params = model.init(jax.random.PRNGKey(0), template)
+        v_of = molecular_v_fn_of(model, params, template)
+        sampler = make_ode_sampler(
+            v_of, solver="rk4", n_steps=4, n_save=3, return_dlogp=True,
+            divergence="hutchinson", num_probes=4, dlogp_quad_points=2,
+            dlogp_quad="gauss", steps_per_dispatch=4, return_dlogp_var=True,
+        )
+        x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (3, 4, 3))
+        temps = jnp.tile(jnp.array([700.0, 300.0]), (3, 1))
+        sol = sampler(x0, temps, jax.random.PRNGKey(2))
+        v = np.asarray(sol.dlogp_var)
+        assert v.shape == np.asarray(sol.dlogp).shape
+        assert np.all(v >= 0)
+        assert np.all(np.diff(v, axis=1) >= -1e-12)  # cumulative
+        # scatter across probe seeds ~ sqrt(mean plug-in var)
+        finals = [
+            np.asarray(sampler(x0, temps, jax.random.PRNGKey(10 + s)).dlogp[:, -1])
+            for s in range(30)
+        ]
+        emp_var = np.var(np.stack(finals), axis=0).mean()
+        assert emp_var == pytest.approx(v[:, -1].mean(), rel=0.6)

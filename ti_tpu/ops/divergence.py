@@ -185,6 +185,26 @@ def _probe_block(key, k: int, d: int, dtype, mode: str) -> Tuple[Array, Array]:
     raise ValueError(f"unknown probe_mode {mode!r} (rademacher | orthogonal)")
 
 
+def hutchinson_var_estimate(est: Array, w: Array, d: int, mode: str) -> Array:
+    """Plug-in variance of the Hutchinson trace ESTIMATOR from its K
+    per-probe contributions ``est`` (q_k = z_k^T J z_k) and weights ``w``.
+
+    rademacher (w = 1/K): the estimator is the mean of iid q_k, so
+    Var = S^2/K with S^2 the sample variance. orthogonal (w = d/K): the
+    Haar frame's without-replacement factor (d-K)/(d-1) is applied to the
+    iid plug-in — approximate (the q_k are negatively correlated), exact
+    in the K = d limit (variance 0). Downstream use: the probe noise adds
+    ~N(0, var) to dlogp, which biases -log E[e^{-phi}] by ~var/2 — the
+    log-normal debias phi += var/2 removes it
+    (analysis/free_energy-level knob; BASELINE.md 10506 probe rows)."""
+    k = est.shape[0]
+    s2 = jnp.var(est) * (k / max(k - 1, 1))
+    if mode == "orthogonal":
+        fac = (d - k) / max(d - 1, 1)
+        return (jnp.sum(w) ** 2) * s2 / k * fac
+    return s2 / k
+
+
 def divergence_hutchinson(
     f: VelocityFn,
     x: Array,
@@ -193,7 +213,8 @@ def divergence_hutchinson(
     num_probes: int = 8,
     axis_name: str | None = None,
     probe_mode: str = "rademacher",
-) -> Tuple[Array, Array]:
+    return_var: bool = False,
+) -> Tuple[Array, ...]:
     """Hutchinson estimator: div f ≈ Σ_k w_k z_kᵀ J z_k.
 
     ``probe_mode`` selects the probe distribution (see ``_probe_block``):
@@ -208,6 +229,10 @@ def divergence_hutchinson(
     are iid across devices; orthogonal mode orthogonalizes per shard), but
     the draws differ from the unsharded estimator — no bitwise parity
     across lane-mesh shapes.
+
+    ``return_var`` additionally returns the plug-in estimator variance
+    (``hutchinson_var_estimate``) as a third element — the debias input
+    for exp(-phi) consumers. Not supported with ``axis_name``.
     """
     shape = jnp.shape(x)
     d = int(jnp.size(x))
@@ -219,6 +244,10 @@ def divergence_hutchinson(
     y, f_lin = jax.linearize(f_flat, flat)
 
     if axis_name is not None:
+        if return_var:
+            raise NotImplementedError(
+                "return_var is not supported with axis_name lane sharding"
+            )
         n = jax.lax.axis_size(axis_name)
         per = -(-num_probes // n)
         if probe_mode == "orthogonal" and per > d:
@@ -237,6 +266,12 @@ def divergence_hutchinson(
 
     z, w = _probe_block(key, num_probes, d, flat.dtype, probe_mode)
     est = jax.vmap(lambda zk: jnp.vdot(zk, f_lin(zk)))(z)
+    if return_var:
+        return (
+            jnp.reshape(y, shape),
+            jnp.sum(w * est),
+            hutchinson_var_estimate(est, w, d, probe_mode),
+        )
     return jnp.reshape(y, shape), jnp.sum(w * est)
 
 

@@ -691,6 +691,7 @@ def pair_tangent_div_fn(
     compute_dtype=None,
     interpret: bool = False,
     lane_block: int | None = None,
+    return_var: bool = False,
 ):
     """Batched divergence-node estimator for ``make_ode_sampler(div_drift=)``.
 
@@ -701,9 +702,12 @@ def pair_tangent_div_fn(
     from the pair-tangent kernel. Estimator draws differ from
     ``divergence_hutchinson`` (different key schedule), so qualification
     goes through the physics oracle, not bitwise parity. ``lane_block``
-    as in ``apply_dense_pair_tangent``.
+    as in ``apply_dense_pair_tangent``. ``return_var`` makes div_fn return
+    the (div (B,), plug-in estimator variance (B,)) pair — the
+    ``make_ode_sampler(return_dlogp_var=True)`` contract
+    (ops.divergence.hutchinson_var_estimate).
     """
-    from ti_tpu.ops.divergence import _probe_block
+    from ti_tpu.ops.divergence import _probe_block, hutchinson_var_estimate
 
     n = int(template.atom_ids.shape[0])
     d = 3 * n
@@ -722,6 +726,12 @@ def pair_tangent_div_fn(
             lane_block=lane_block,
         )
         est = jnp.sum(zt * dvel, axis=(2, 3))         # (B, K)
-        return jnp.sum(wts * est, axis=1)
+        div = jnp.sum(wts * est, axis=1)
+        if return_var:
+            var = jax.vmap(
+                lambda e, ww: hutchinson_var_estimate(e, ww, d, probe_mode)
+            )(est, wts)
+            return div, var
+        return div
 
     return div_fn

@@ -77,6 +77,7 @@ def make_ode_sampler(
     node_batch: Optional[int] = None,
     traj_drift: Optional[Callable] = None,
     div_drift: Optional[Callable] = None,
+    return_dlogp_var: bool = False,
 ):
     """Build a batched transport sampler.
 
@@ -100,6 +101,14 @@ def make_ode_sampler(
     HBM-bound cost center of the dlogp headline, BASELINE.md). The
     estimator's probe DRAWS differ from ``divergence_hutchinson`` (other
     key schedule), so use the physics oracle for qualification.
+
+    ``return_dlogp_var`` (gauss quadrature path, divergence='hutchinson'
+    only) fills ``ODESolution.dlogp_var`` with the accumulated plug-in
+    variance of the probe noise in dlogp — the debias input for
+    exp(-phi) consumers (phi += dlogp_var/2 removes the ~var/2 bias in
+    -log E[w]; ops.divergence.hutchinson_var_estimate). With
+    ``div_drift`` the callable must then return (div, var) per batch
+    (``pair_tangent_div_fn(return_var=True)``).
 
     ``steps_per_dispatch`` bounds the number of integrator steps per DEVICE
     DISPATCH: the integration is resumed across multiple jitted calls (one
@@ -178,6 +187,13 @@ def make_ode_sampler(
             "quadrature-dlogp path (dlogp_quad='gauss', dlogp_quad_points=, "
             "steps_per_dispatch=)"
         )
+    if return_dlogp_var and not (
+        dlogp_quad_points is not None and return_dlogp and dlogp_quad == "gauss"
+    ):
+        raise ValueError(
+            "return_dlogp_var requires the gauss quadrature-dlogp path "
+            "(dlogp_quad='gauss', dlogp_quad_points=, return_dlogp=True)"
+        )
     if dlogp_quad_points is not None and return_dlogp:
         if solver == "dopri5":
             raise ValueError("dlogp_quad_points requires a fixed-step solver")
@@ -189,7 +205,7 @@ def make_ode_sampler(
                 steps_per_dispatch=steps_per_dispatch, num_probes=num_probes,
                 div_axis=div_axis, probe_crn=probe_crn, probe_mode=probe_mode,
                 node_batch=node_batch, traj_drift=traj_drift,
-                div_drift=div_drift,
+                div_drift=div_drift, return_dlogp_var=return_dlogp_var,
             )
         return _quad_dlogp_sampler(
             v_fn_of, solver=solver, t0=t0, t1=t1, n_steps=n_steps,
@@ -400,7 +416,7 @@ def _gauss_dlogp_sampler(
     v_fn_of, *, solver, t0, t1, n_steps, n_save, gl_points, divergence,
     div_chunk, steps_per_dispatch, num_probes=8, div_axis=None,
     probe_crn=False, probe_mode="rademacher", node_batch=None,
-    traj_drift=None, div_drift=None,
+    traj_drift=None, div_drift=None, return_dlogp_var=False,
 ):
     """Driver-level Gauss-Legendre-decoupled dlogp.
 
@@ -497,21 +513,40 @@ def _gauss_dlogp_sampler(
 
             return jax.vmap(one)(x, conds)
 
+    if return_dlogp_var and divergence != "hutchinson":
+        raise ValueError(
+            "return_dlogp_var requires divergence='hutchinson' (the "
+            "probe-noise variance of the stochastic estimator; exact has "
+            "none)"
+        )
+    if return_dlogp_var and steps_per_dispatch is None:
+        raise ValueError(
+            "return_dlogp_var requires the segmented gauss path "
+            "(steps_per_dispatch=)"
+        )
+
     if div_drift is not None:
         # batched estimator (e.g. the pair-tangent kernel): one lax.map
-        # over the quadrature nodes, the whole chain batch per node
+        # over the quadrature nodes, the whole chain batch per node.
+        # With return_dlogp_var the div_drift must return a (div, var)
+        # tuple per batch (pair_tangent_div_fn(return_var=True)).
         @jax.jit
         def div_all(xs_nodes, conds, ts_nodes, key):
             xs_nt = jnp.swapaxes(xs_nodes, 0, 1)  # (n_nodes, C, N, 3)
 
             def node(args):
                 xb, t, i = args
-                return div_drift(xb, t, conds, jax.random.fold_in(key, i))
+                out = div_drift(xb, t, conds, jax.random.fold_in(key, i))
+                if return_dlogp_var:
+                    return out  # (div (C,), var (C,))
+                return out
 
-            divs = jax.lax.map(
+            out = jax.lax.map(
                 node, (xs_nt, ts_nodes, jnp.arange(xs_nt.shape[0])),
-            )  # (n_nodes, C)
-            return jnp.swapaxes(divs, 0, 1)
+            )  # (n_nodes, C) or tuple of two
+            if return_dlogp_var:
+                return tuple(jnp.swapaxes(o, 0, 1) for o in out)
+            return jnp.swapaxes(out, 0, 1)
 
     else:
 
@@ -529,10 +564,12 @@ def _gauss_dlogp_sampler(
                         return divergence_hutchpp(
                             f, x, jax.random.fold_in(k, i), num_queries=num_probes
                         )[1]
-                    return divergence_hutchinson(
+                    res = divergence_hutchinson(
                         f, x, jax.random.fold_in(k, i), num_probes=num_probes,
                         axis_name=div_axis, probe_mode=probe_mode,
-                    )[1]
+                        return_var=return_dlogp_var,
+                    )
+                    return res[1:] if return_dlogp_var else res[1]
 
                 return jax.lax.map(
                     node, (xs_p, ts_nodes, jnp.arange(xs_p.shape[0])),
@@ -560,7 +597,10 @@ def _gauss_dlogp_sampler(
         divs = div_all(
             xs_nodes, conds, jnp.asarray(bounds[node_pos], x.dtype),
             jax.random.fold_in(key, 10_000),
-        )  # (C, (n_save-1)*gl_points)
+        )  # (C, (n_save-1)*gl_points), optionally with per-node variances
+        dvars = None
+        if return_dlogp_var:
+            divs, dvars = divs
         divs = divs.reshape(divs.shape[0], n_save - 1, gl_points)
         w = jnp.asarray(node_w, x.dtype)
         per_interval = -jnp.sum(w[None] * divs, axis=2)
@@ -568,10 +608,22 @@ def _gauss_dlogp_sampler(
             [jnp.zeros((divs.shape[0], 1), x.dtype), jnp.cumsum(per_interval, axis=1)],
             axis=1,
         )
+        dlogp_var = None
+        if dvars is not None:
+            # independent probe draws per node: Var(dlogp) = sum w^2 var
+            dvars = dvars.reshape(dvars.shape[0], n_save - 1, gl_points)
+            var_interval = jnp.sum((w ** 2)[None] * dvars, axis=2)
+            dlogp_var = jnp.concatenate(
+                [jnp.zeros((dvars.shape[0], 1), x.dtype),
+                 jnp.cumsum(var_interval, axis=1)],
+                axis=1,
+            )
         nfe = jnp.asarray(
             (len(bounds) - 1) * m * n_stages + len(node_pos), jnp.int32
         )
-        return ODESolution(xs=stacked[:, save_pos], dlogp=dlogp, nfe=nfe)
+        return ODESolution(
+            xs=stacked[:, save_pos], dlogp=dlogp, nfe=nfe, dlogp_var=dlogp_var
+        )
 
     return sampler
 

@@ -54,11 +54,18 @@ class ODESolution(NamedTuple):
     """xs: (n_save, *state) trajectory at save points (including t0);
     dlogp: (n_save,) integrated log-density change (zeros if not requested);
     nfe: scalar int32 - number of RHS evaluations (the reference's printed
-    ``n_steps`` counter, mdqm9/sample_ambient.py:107)."""
+    ``n_steps`` counter, mdqm9/sample_ambient.py:107);
+    dlogp_var: optional (n_save,) estimate of the stochastic-divergence
+    noise VARIANCE accumulated into dlogp (None unless the sampler was
+    built with return_dlogp_var — gauss quadrature path only). Downstream
+    exp(-phi) estimators can debias the probe noise with
+    phi += dlogp_var/2 (exact for log-normal noise; the h-K probe bias in
+    -log E[w] is ~var/2, BASELINE.md 10506 probe rows)."""
 
     xs: Array
     dlogp: Array
     nfe: Array
+    dlogp_var: Optional[Array] = None
 
 
 def _make_rhs_joint(
