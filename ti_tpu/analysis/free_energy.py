@@ -48,6 +48,20 @@ def calc_phis_bg_tfep(E0s, neg_dlogps_bg_T0, E1s, neg_dlogps_bg_T1, k: float | N
     return phis
 
 
+def debias_phis(phis, dlogp_var):
+    """Log-normal debias of stochastic-divergence (Hutchinson) dlogp noise.
+
+    With phi_obs = phi_true + eps, eps ~ N(0, var) independent of the
+    sample (the probe noise of a hutchinson dlogp; variance recorded by
+    the sampler as ``dlogp_vars_*`` when ``return_dlogp_var`` is set),
+    E[e^{-phi_obs}] = E[e^{-phi_true}] e^{var/2} — the documented ~var/2
+    bias of -log E[w] at large probe variance (BASELINE.md 10506 probe
+    rows). ``phi + var/2`` makes the exponential-mean estimators
+    (calc_tfep_dF, ESS weights) unbiased again. No reference counterpart
+    (the reference only has the exact autograd divergence)."""
+    return np.asarray(phis) + 0.5 * np.asarray(dlogp_var)
+
+
 def calc_tfep_dF(phis, weights=None) -> float:
     """dF = -log( Σ e^{-phi} w / Σ w ) (reference free_energy.py:41-46),
     evaluated with a log-sum-exp for stability (same value)."""

@@ -142,6 +142,11 @@ class MDQM9Config:
     num_probes: int = 8  # stochastic-divergence probe/query count (hutchinson/hutchpp)
     probe_mode: str = "rademacher"  # or "orthogonal": Haar probe frame, exact at K=dim (ops/divergence.py)
     probe_crn: bool = False  # share probes across chains (good for ESS/marginals, biases absolute dF — BASELINE.md)
+    # record the probe-noise variance of the hutchinson dlogp (gauss path
+    # only) into dlogp_vars_* artifacts: exp(-phi) consumers debias the
+    # ~var/2 offset in -log E[w] with phi += var/2
+    # (analysis.free_energy.debias_phis; BASELINE.md 10506 probe rows)
+    return_dlogp_var: bool = False
     compute_dtype: str = "f32"  # or "bf16": mixed-precision sampling path
     steps_per_dispatch: int = 0  # 0 = whole rollout in one device dispatch
     dlogp_quad_points: int = 0  # 0 = stage-coupled dlogp; K = quadrature nodes

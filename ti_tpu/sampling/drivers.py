@@ -942,6 +942,7 @@ def sample_ambient(
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
         traj_drift=_traj_drift_of(cfg, model, params, template),
         div_drift=_div_drift_of(cfg, model, params, template),
+        return_dlogp_var=bool(getattr(cfg, "return_dlogp_var", False)),
     )
 
     if latent_z is None:
@@ -954,7 +955,7 @@ def sample_ambient(
     )
 
     os.makedirs(cfg.data_save_path, exist_ok=True) if save else None
-    all_samples, all_dlogps, nfe = [], [], 0
+    all_samples, all_dlogps, all_dvars, nfe = [], [], [], 0
     key = jax.random.PRNGKey(cfg.seed)
     for i in range(0, n, bs):
         key, sub = jax.random.split(key)
@@ -967,9 +968,12 @@ def sample_ambient(
         sol = sampler(jnp.asarray(xb), jnp.asarray(tb), sub)
         all_samples.append(np.asarray(sol.xs)[:take])  # (B, n_save, N, 3)
         all_dlogps.append(np.asarray(sol.dlogp[:take, -1]))  # final dlogp/chain
+        if sol.dlogp_var is not None:
+            all_dvars.append(np.asarray(sol.dlogp_var[:take, -1]))
         nfe = max(nfe, int(np.max(np.asarray(sol.nfe))))
         if save:  # incremental checkpointing (sample_ambient.py:88-101)
-            _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp, i + take)
+            _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp,
+                          i + take, all_dvars)
 
     samples = np.concatenate(all_samples, axis=0)
     dlogps = np.concatenate(all_dlogps, axis=0)
@@ -980,18 +984,28 @@ def sample_ambient(
         "latent_dlogps": latent_dlogp[: len(samples)],
         "nfe": nfe,
     }
+    if all_dvars:
+        out["dlogp_vars"] = np.concatenate(all_dvars, axis=0)
     if save:
-        _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp, len(samples))
+        _save_ambient(cfg, all_samples, all_dlogps, latent_z, latent_dlogp,
+                      len(samples), all_dvars)
     return out
 
 
-def _save_ambient(cfg, samples_list, dlogps_list, latent_z, latent_dlogp, n_done):
+def _save_ambient(cfg, samples_list, dlogps_list, latent_z, latent_dlogp,
+                  n_done, dvars_list=()):
     base = cfg.data_save_path
     name = cfg.data_save_name
     np.save(os.path.join(base, f"samples_{name}.npy"), np.concatenate(samples_list, axis=0))
     np.save(os.path.join(base, f"dlogps_{name}.npy"), np.concatenate(dlogps_list, axis=0))
     np.save(os.path.join(base, f"latent_noises_{name}.npy"), latent_z[:n_done])
     np.save(os.path.join(base, f"latent_dlogps_{name}.npy"), latent_dlogp[:n_done])
+    if dvars_list:
+        # probe-noise variance of each chain's dlogp (cfg.return_dlogp_var):
+        # exp(-phi) consumers debias with phi += var/2
+        # (analysis.free_energy.calc_tfep_dF dlogp_var=)
+        np.save(os.path.join(base, f"dlogp_vars_{name}.npy"),
+                np.concatenate(dvars_list, axis=0))
 
 
 # ---------------------------------------------------------------------------
