@@ -1045,10 +1045,11 @@ def sample_latent(
         probe_crn=bool(getattr(cfg, "probe_crn", False)),
         traj_drift=_traj_drift_of(cfg, model, params, template),
         div_drift=_div_drift_of(cfg, model, params, template),
+        return_dlogp_var=bool(getattr(cfg, "return_dlogp_var", False)),
     )
 
     key = jax.random.PRNGKey(cfg.seed)
-    all_samples, all_dlogps, nfe = [], [], 0
+    all_samples, all_dlogps, all_dvars, nfe = [], [], [], 0
     if save:
         os.makedirs(cfg.data_save_path, exist_ok=True)
     for i in range(0, n, bs):
@@ -1060,6 +1061,8 @@ def sample_latent(
         sol = sampler(z, temps, sk)
         all_samples.append(np.asarray(sol.xs)[:take])
         all_dlogps.append(np.asarray(sol.dlogp[:take, -1]))
+        if sol.dlogp_var is not None:
+            all_dvars.append(np.asarray(sol.dlogp_var[:take, -1]))
         nfe = max(nfe, int(np.max(np.asarray(sol.nfe))))
         if save:
             name = cfg.data_save_name
@@ -1071,11 +1074,20 @@ def sample_latent(
                 os.path.join(cfg.data_save_path, f"dlogps_{name}_forward.npy"),
                 np.concatenate(all_dlogps, axis=0),
             )
-    return {
+            if all_dvars:
+                np.save(
+                    os.path.join(cfg.data_save_path,
+                                 f"dlogp_vars_{name}_forward.npy"),
+                    np.concatenate(all_dvars, axis=0),
+                )
+    out = {
         "samples": np.concatenate(all_samples, axis=0),
         "dlogps": np.concatenate(all_dlogps, axis=0),
         "nfe": nfe,
     }
+    if all_dvars:
+        out["dlogp_vars"] = np.concatenate(all_dvars, axis=0)
+    return out
 
 
 # ---------------------------------------------------------------------------
