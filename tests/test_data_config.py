@@ -189,7 +189,9 @@ def test_fast_profile():
 
     large = fast_profile(ambient_preset("10506", 300))  # n_features=256
     assert (large.num_probes, large.n_steps) == (32, 16)
-    assert large.traj_forward_impl == "default"
+    # round-5 adoption: the bf16-VMEM kernel trajectory qualified at 10506
+    # capacity (BASELINE.md round-5 row)
+    assert large.traj_forward_impl == "pair_kernel_bf16"
 
     over = fast_profile(ambient_preset("00031", 300), num_probes=24, divergence="exact")
     assert (over.num_probes, over.divergence) == (24, "exact")
