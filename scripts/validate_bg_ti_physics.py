@@ -70,6 +70,13 @@ def main(argv):
                          "of model quality, so this only moves the ESS)")
     ap.add_argument("--train_compute_dtype",
                     choices=["f32", "bf16", "bf16_agg"], default="f32")
+    ap.add_argument("--probe_debias", action="store_true",
+                    help="record both stages' hutchinson probe-noise "
+                         "variance (cfg.return_dlogp_var) and ALSO report "
+                         "the log-normal-debiased identity row (log_w -= "
+                         "(var_bg + var_ti)/2 — removes the ~var/2 bias "
+                         "per stage; analysis.free_energy.debias_phis "
+                         "mechanism)")
     args = ap.parse_args(argv)
 
     from ti_tpu.analysis.weights import calc_ess, calc_importance_weights
@@ -111,6 +118,10 @@ def main(argv):
         steps_per_dispatch=16, compute_dtype=args.compute_dtype,
         dlogp_quad_points=args.gl_points if args.latent_quad else 0,
         dlogp_quad="gauss",
+        return_dlogp_var=bool(
+            args.probe_debias and args.latent_quad
+            and args.divergence == "hutchinson"
+        ),
         model_save_path=f"{args.out_dir}/models_lat",
         data_save_path=f"{args.out_dir}/out_lat", use_wandb=False,
     )
@@ -146,6 +157,9 @@ def main(argv):
         train_compute_dtype=args.train_compute_dtype,
         steps_per_dispatch=16, dlogp_quad_points=args.gl_points, dlogp_quad="gauss",
         compute_dtype=args.compute_dtype,
+        return_dlogp_var=bool(
+            args.probe_debias and args.divergence == "hutchinson"
+        ),
         model_save_path=f"{args.out_dir}/models_amb",
         data_save_path=f"{args.out_dir}/out_amb", use_wandb=False,
     )
@@ -186,11 +200,29 @@ def main(argv):
     neg_log_Z_exact = float(-0.5 * d_eff * np.log(2 * np.pi * sigma(T1) ** 2))
     ess = calc_ess(np.exp(log_w - mx))
 
+    debias_report = {}
+    if args.probe_debias and "dlogp_vars" in out:
+        # both stages' probe noise is independent of the sample: the
+        # log-normal debias subtracts (var_bg + var_ti)/2 from log w
+        v = np.asarray(out["dlogp_vars"])
+        if "dlogp_vars" in lat_out:
+            v = v + np.asarray(lat_out["dlogp_vars"])
+        log_w_c = log_w - 0.5 * v
+        mx_c = log_w_c.max()
+        est_c = float(-(mx_c + np.log(np.mean(np.exp(log_w_c - mx_c)))))
+        debias_report = {
+            "neg_log_Z_est_debiased": est_c,
+            "abs_err_debiased": abs(est_c - neg_log_Z_exact),
+            "ess_frac_debiased": calc_ess(np.exp(log_w_c - mx_c)) / len(x1),
+            "dlogp_var_mean": float(v.mean()),
+        }
+
     print(json.dumps({
         "width": width, "width_target": sigma(T1), "width_bg_stage": sigma(T0),
         "neg_log_Z_est": neg_log_Z_est, "neg_log_Z_exact": neg_log_Z_exact,
         "abs_err": abs(neg_log_Z_est - neg_log_Z_exact),
         "ess": ess, "ess_frac": ess / len(x1), "n": len(x1),
+        **debias_report,
     }))
 
 
