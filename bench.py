@@ -270,33 +270,37 @@ def main(quick: bool = False):
         print(f"[bench] pair-kernel trajectory unavailable: {e}", file=sys.stderr)
 
     # pair-TANGENT divergence kernel (round 5): the probe lanes ride the
-    # message layers in VMEM (ops/pair_tangent_kernel.py) — the direct
-    # attack on the headline's dominant cost center (the divergence nodes
-    # are HBM-bound on per-lane tangent reads, BASELINE.md). Measured with
-    # the qualified pair-kernel trajectory underneath; context lines until
-    # the 00031 physics qualification row lands, then eligible for max().
+    # message layers in VMEM, lane-blocked 4/step (ops/pair_tangent_kernel
+    # .py) — the direct attack on the headline's dominant cost center (the
+    # divergence nodes are HBM-bound on per-lane tangent reads,
+    # BASELINE.md). HEADLINE-ELIGIBLE: physics-qualified on the round-5
+    # trained oracle at the full bench combo — dF err 0.130 / ESS 17.1%
+    # (seed 1: 0.134 / 18.6%) vs the default path's 0.136 / 19.8% same
+    # seed (probe-draw scatter band), f32 kernel control identical to 3
+    # digits, and the kernel's FULL orthogonal frame reproduces the true
+    # exact-divergence floor (0.0813/20.3% vs 0.0808/20.4%) — BASELINE.md
+    # round-5 00031 rows. Measured 1.70x (122.3 -> 208.1) idle-chip.
     try:
         from ti_tpu.ops.pair_layer_kernel import pair_kernel_drift
         from ti_tpu.ops.pair_tangent_kernel import pair_tangent_div_fn
 
-        for dname, dcd in (("f32", None), ("bf16", "bf16_agg")):
-            dt_sampler = make_ode_sampler(
-                v_fn_of,
-                traj_drift=pair_kernel_drift(model, params, template),
-                div_drift=pair_tangent_div_fn(
-                    model, params, template, num_probes=16,
-                    probe_mode="orthogonal", compute_dtype=dcd,
-                ),
-                **opt_kw,
-            )
-            dt_rate, _ = timed(dt_sampler, chains, reps)
-            print(
-                f"[bench] pair-tangent-{dname} divergence + pair-kernel "
-                f"trajectory (context; pending 00031 qualification): "
-                f"{dt_rate:.3f} samples/s "
-                f"({dt_rate / max(opt_rate, 1e-9):.2f}x)",
-                file=sys.stderr,
-            )
+        dt_sampler = make_ode_sampler(
+            v_fn_of,
+            traj_drift=pair_kernel_drift(model, params, template),
+            div_drift=pair_tangent_div_fn(
+                model, params, template, num_probes=16,
+                probe_mode="orthogonal", compute_dtype="bf16_agg",
+            ),
+            **opt_kw,
+        )
+        dt_rate, _ = timed(dt_sampler, chains, reps)
+        print(
+            f"[bench] optimized + pair-tangent-bf16 divergence + "
+            f"pair-kernel trajectory: {dt_rate:.3f} samples/s "
+            f"({dt_rate / max(opt_rate, 1e-9):.2f}x)",
+            file=sys.stderr,
+        )
+        opt_rate = max(opt_rate, dt_rate)
     except Exception as e:
         print(f"[bench] pair-tangent divergence unavailable: {e}", file=sys.stderr)
 

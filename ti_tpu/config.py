@@ -353,6 +353,15 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
             # the field's exact floor 0.397 / 10.5% on the trained
             # 29-atom/F=256 oracle — BASELINE.md round-5 10506 rows).
             traj_forward_impl="pair_kernel_bf16" if large else "pair_kernel",
+            # round-5: the pair-TANGENT kernel drives the divergence nodes
+            # at 00031 capacity (probe lanes in VMEM, lane-blocked) —
+            # physics-qualified on the trained oracle (dF err 0.130 / ESS
+            # 17.1% at the bench combo; the kernel's full orthogonal frame
+            # reproduces the exact floor to 3 digits — BASELINE.md round-5
+            # 00031 rows) at 1.70x the default divergence path. At 10506
+            # capacity it stays default pending the divk_10506 measurement
+            # + qualification.
+            div_forward_impl="default" if large else "pair_tangent_bf16",
         )
     elif family == "latent":
         prof = dict(
