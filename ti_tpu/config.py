@@ -368,7 +368,12 @@ def fast_profile(cfg: MDQM9Config, family: str = "ambient", **overrides) -> MDQM
             solver_type="rk4",
             n_steps=64,
             dlogp_quad="gauss",
-            dlogp_quad_points=8,
+            # round-5 10506-capacity finding: the BG dlogp integrand is
+            # steep near the noise end and GL-8 TRUNCATES at 29-atom
+            # capacity (-log Z err 0.31 at GL-8 even with EXACT
+            # divergence; 0.019 at GL-16 — BASELINE.md latent rows).
+            # GL-8 stays qualified at small capacity.
+            dlogp_quad_points=16 if cfg.n_features >= 256 else 8,
             compute_dtype="bf16",
             steps_per_dispatch=25,
         )
