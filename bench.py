@@ -379,7 +379,11 @@ def main(quick: bool = False):
     try:
         from ti_tpu.sampling.drivers import sample_molecular_sde
 
-        c_sde = 512 if quick else 4096
+        # 8192 chains (round 5): the kernel SDE keeps scaling past the
+        # round-3 4096 sweet spot — 282.1/296.2/301.2 samples/s at
+        # 4096/8192/16384 (BASELINE.md round-5 SDE rows); 8192 is the
+        # knee, 16384 buys +1.7% (wobble-level) for 2x the batch memory
+        c_sde = 512 if quick else 8192
         x0, temps = make_batch(c_sde)
 
         def timed_sde(impl, cd, cb=1):
